@@ -1,0 +1,141 @@
+"""Command-line entry point.
+
+Counterpart of the reference's ``src/main.cpp`` getopt interface
+(SURVEY.md §2 row 17: ``./pathtracer -s spp -l light_samples -m max_depth
+-r w h -f outfile scene.dae``), headless mode only — a live OpenGL editor is
+out of scope for a TPU pod renderer (SURVEY.md §7 step 8); progressive/BVH
+introspection lives in ``tpu_pt dump-bvh`` and the checkpointing renderer.
+
+Usage:
+    python -m tpu_pt.cli render cornell-spheres -s 64 -m 4 -r 512 512 -f out.png
+    python -m tpu_pt.cli render path/to/scene.dae -f out.png
+    python -m tpu_pt.cli dump-bvh cornell-spheres
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load_scene(name: str):
+    """Resolve a scene spec: builtin name or a .dae/.obj file path."""
+    from tpu_pt.scene import cornell, meshes
+
+    builtin = {
+        "cornell": lambda: (cornell.cornell("empty"), cornell.camera),
+        "cornell-empty": lambda: (cornell.cornell("empty"), cornell.camera),
+        "cornell-spheres": lambda: (cornell.cornell("spheres"), cornell.camera),
+        "cornell-mesh": lambda: (cornell.cornell("mesh"), cornell.camera),
+        "big": lambda: (meshes.big_scene(subdiv=7), meshes.big_camera),
+        "big-1m": lambda: (meshes.big_scene(subdiv=8), meshes.big_camera),
+    }
+    if name in builtin:
+        return builtin[name]()
+    if name.endswith(".dae"):
+        from tpu_pt.scene import collada
+
+        return collada.load(name)
+    if name.endswith(".obj"):
+        from tpu_pt.scene import obj
+
+        return obj.load(name)
+    raise SystemExit(
+        f"unknown scene {name!r}; builtins: {', '.join(sorted(builtin))}"
+    )
+
+
+def cmd_render(args) -> int:
+    import jax
+
+    from tpu_pt.config import RenderConfig
+    from tpu_pt.render import film
+
+    scene, camera_fn = _load_scene(args.scene)
+    cfg = RenderConfig(
+        width=args.resolution[0], height=args.resolution[1], spp=args.spp,
+        max_depth=args.max_depth, ns_area_light=args.light_samples,
+        direct_only=args.direct_only,
+    )
+    cam = camera_fn(cfg.width, cfg.height)
+    key = jax.random.key(args.seed)
+
+    t0 = time.time()
+    if args.backend == "brute":
+        from tpu_pt.render.driver import render
+
+        img = render(scene, cam, cfg, key, backend="brute")
+    else:
+        from tpu_pt.bvh.sah import build_bvh
+        from tpu_pt.render.driver import render
+
+        bvh = build_bvh(scene)
+        img = render(scene, cam, cfg, key, backend="bvh", bvh=bvh)
+    dt = time.time() - t0
+
+    n_rays = cfg.n_pixels * cfg.spp  # primary rays (bounces extra)
+    print(
+        json.dumps(
+            dict(
+                scene=args.scene, width=cfg.width, height=cfg.height,
+                spp=cfg.spp, max_depth=cfg.max_depth, seconds=round(dt, 3),
+                primary_rays=n_rays,
+                primary_rays_per_s=round(n_rays / dt, 1),
+                mean_radiance=round(float(img.mean()), 5),
+            )
+        )
+    )
+    film.save(args.outfile, img)
+    print(f"wrote {args.outfile}", file=sys.stderr)
+    return 0
+
+
+def cmd_dump_bvh(args) -> int:
+    """BVH introspection dump — the headless replacement for the reference's
+    interactive 'V' BVH-visualize mode (SURVEY.md §3.4, §5 tracing)."""
+    import numpy as np
+
+    from tpu_pt.bvh.sah import build_bvh
+
+    scene, _ = _load_scene(args.scene)
+    bvh = build_bvh(scene)
+    n = int(bvh.node_min.shape[0])
+    leaf = np.asarray(bvh.prim_count) > 0
+    print(json.dumps(dict(
+        scene=args.scene, prims=scene.n_prims, nodes=n,
+        leaves=int(leaf.sum()),
+        max_leaf_size=int(np.asarray(bvh.prim_count).max()),
+        root_min=np.asarray(bvh.node_min)[0].tolist(),
+        root_max=np.asarray(bvh.node_max)[0].tolist(),
+    )))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tpu_pt")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="headless render to PNG")
+    pr.add_argument("scene")
+    pr.add_argument("-s", "--spp", type=int, default=16)
+    pr.add_argument("-m", "--max-depth", type=int, default=4)
+    pr.add_argument("-l", "--light-samples", type=int, default=1)
+    pr.add_argument("-r", "--resolution", type=int, nargs=2, default=[512, 512])
+    pr.add_argument("-f", "--outfile", default="out.png")
+    pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--direct-only", action="store_true")
+    pr.add_argument("--backend", choices=["brute", "bvh"], default="bvh")
+    pr.set_defaults(fn=cmd_render)
+
+    pb = sub.add_parser("dump-bvh", help="print BVH structure stats")
+    pb.add_argument("scene")
+    pb.set_defaults(fn=cmd_dump_bvh)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,57 @@
+"""Render configuration.
+
+Counterpart of the reference's getopt CLI flags (SURVEY.md §2 row 17:
+``-t threads -s spp -l light_samples -m max_depth -r w h -f outfile``) plus
+the TPU-specific knobs the reference never needed.  The config is a frozen,
+hashable dataclass so it can be a ``jax.jit`` static argument: config ==
+compilation key (SURVEY.md §5 "Config / flag system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """All knobs for one render. Hashable; used as a jit static argument."""
+
+    width: int = 512
+    height: int = 512
+    spp: int = 16                    # samples per pixel (reference: -s)
+    max_depth: int = 4               # max ray bounces (reference: -m)
+    ns_area_light: int = 1           # samples per area light (reference: -l)
+    direct_only: bool = False        # config-1 mode: no indirect bounces
+    rr_start: int = 2                # bounce index where Russian roulette kicks in
+    rr_prob: float = 0.7             # continuation probability for RR
+    # Wavefront machinery
+    spp_chunk: int = 4               # spp rendered per device pass (memory knob)
+    ray_block: int = 1024            # wavefront queue block granularity
+    compact: bool = True             # stream-compact terminated rays each bounce
+    sort_rays: bool = False          # sort surviving rays by material for coherence
+    # Numerics
+    dtype: str = "float32"
+    eps: float = 1e-4                # shadow/secondary ray offset
+    # Distribution
+    mesh_shape: Tuple[int, ...] = ()  # () = single device
+    # Backend selection for the hot path: "xla" | "pallas"
+    traversal: str = "xla"
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "RenderConfig":
+        d = json.loads(s)
+        if "mesh_shape" in d and d["mesh_shape"] is not None:
+            d["mesh_shape"] = tuple(d["mesh_shape"])
+        return cls(**d)

@@ -1,0 +1,84 @@
+"""Render drivers: turn the integrator into images.
+
+Counterpart of the reference's ``PathTracer::start_raytracing`` tile
+scheduler (SURVEY.md §2 row 13) — but instead of worker threads pulling
+32×32 tiles from a mutex-guarded queue, the image is a flat array of
+(pixel, sample) pairs processed in fixed-size jitted chunks (static shapes;
+the chunk size is the memory knob).  Tile scheduling across *chips* lives in
+``tpu_pt/dist`` (shard_map), not here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pt.config import RenderConfig
+from tpu_pt.render import brute
+from tpu_pt.render.integrator import render_chunk
+from tpu_pt.scene.types import Scene
+
+
+def _intersectors(backend: str, bvh=None):
+    if backend == "brute":
+        return brute.intersect, brute.occluded
+    if backend == "bvh":
+        from tpu_pt.bvh import flat
+
+        if bvh is None:
+            raise ValueError("backend='bvh' requires a built FlatBVH")
+        return (
+            functools.partial(flat.intersect, bvh),
+            functools.partial(flat.occluded, bvh),
+        )
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
+def _chunk_jit(scene, cam, cfg, key, pixel_ids, sample_ids, backend, bvh):
+    isect, occl = _intersectors(backend, bvh)
+    return render_chunk(scene, cam, cfg, key, pixel_ids, sample_ids, isect, occl)
+
+
+def render(
+    scene: Scene,
+    cam,
+    cfg: RenderConfig,
+    key,
+    backend: str = "brute",
+    bvh=None,
+    pix_chunk: Optional[int] = None,
+):
+    """Render to a (H, W, 3) linear-radiance image (row 0 = bottom row).
+
+    Chunked megakernel-style driver: each chunk is ``pix_chunk`` whole pixels
+    × ``spp`` samples, so the per-chunk output reduces to pixel means with no
+    scatter.  The wavefront renderer (tpu_pt/render/wavefront.py) is the
+    performance path; this one is the reference/debug path and the oracle.
+    """
+    n_pix = cfg.n_pixels
+    if pix_chunk is None:
+        if backend == "brute":
+            budget = 1 << 22  # ray×prim pairs resident at once
+            pix_chunk = max(1, budget // max(1, cfg.spp * scene.n_prims))
+        else:
+            pix_chunk = max(1, (1 << 17) // cfg.spp)
+        pix_chunk = min(pix_chunk, n_pix)
+
+    n_chunks = -(-n_pix // pix_chunk)
+    img = np.zeros((n_pix, 3), np.float32)
+    spp_ids = jnp.tile(jnp.arange(cfg.spp, dtype=jnp.int32), pix_chunk)
+    for c in range(n_chunks):
+        start = c * pix_chunk
+        ids = np.arange(start, start + pix_chunk, dtype=np.int32)
+        ids = np.minimum(ids, n_pix - 1)  # tail padding re-renders last pixel
+        pixel_ids = jnp.repeat(jnp.asarray(ids), cfg.spp)
+        L = _chunk_jit(scene, cam, cfg, key, pixel_ids, spp_ids, backend, bvh)
+        L = L.reshape(pix_chunk, cfg.spp, 3).mean(axis=1)
+        end = min(start + pix_chunk, n_pix)
+        img[start:end] = np.asarray(L)[: end - start]
+    return img.reshape(cfg.height, cfg.width, 3)

@@ -1,0 +1,85 @@
+"""Light sampling for next-event estimation.
+
+Counterpart of the reference's light hierarchy (SURVEY.md §2 row 7:
+``AreaLight::sample_L``, point / directional / hemisphere lights returning
+radiance + wi + distance + pdf).  The TPU form samples ONE light table row
+per (ray, light, sample) with broadcasting — lights are few, so the L axis
+is unrolled by the integrator.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from tpu_pt.core.vecmath import dot, normalize
+from tpu_pt.scene.types import LIGHT_AREA, LIGHT_POINT, LIGHT_DIRECTIONAL, LIGHT_HEMISPHERE
+
+
+class LightSample(NamedTuple):
+    wi: jnp.ndarray        # (R, 3) unit direction from shading point to light
+    dist: jnp.ndarray      # (R, 1) distance to the light sample (inf for dir/hemi)
+    radiance: jnp.ndarray  # (R, 3) incident radiance along wi (already /r^2 for point)
+    pdf: jnp.ndarray       # (R, 1) solid-angle pdf (1 for delta lights)
+    delta: jnp.ndarray     # (R, 1) bool — delta light (point/directional)
+
+
+def sample_light(lights, li: int, p, u):
+    """Sample light row ``li`` from shading points p (R,3) with uniforms
+    u (R,2).  Static per-light unroll keeps the select tree tiny."""
+    kind = lights.kind[li]
+    pos = lights.position[li]
+    ex = lights.edge_x[li]
+    ey = lights.edge_y[li]
+    nrm = lights.normal[li]
+    rad = lights.radiance[li]
+
+    # ---- Area quad light (the Cornell-box light). ----
+    q = pos + u[..., 0:1] * ex + u[..., 1:2] * ey
+    d = q - p
+    dist2 = jnp.maximum(dot(d, d), 1e-12)
+    dist_a = jnp.sqrt(dist2)
+    wi_a = d / dist_a
+    area = jnp.linalg.norm(jnp.cross(ex, ey))
+    cos_l = dot(-wi_a, nrm)                      # emission side only
+    # Solid-angle pdf of uniform-area sampling: r^2 / (A * cosL).
+    pdf_a = dist2 / jnp.maximum(area * jnp.maximum(cos_l, 1e-9), 1e-12)
+    rad_a = jnp.where(cos_l > 0.0, rad, 0.0) * jnp.ones_like(p)
+
+    # ---- Point light: intensity / r^2, delta. ----
+    dp = pos - p
+    dist2p = jnp.maximum(dot(dp, dp), 1e-12)
+    dist_p = jnp.sqrt(dist2p)
+    wi_p = dp / dist_p
+    rad_p = rad / dist2p * jnp.ones_like(p)
+
+    # ---- Directional light: constant radiance from -direction, delta. ----
+    wi_d = jnp.broadcast_to(normalize(-nrm), p.shape)
+    rad_d = jnp.broadcast_to(rad, p.shape)
+
+    # ---- Infinite hemisphere light: uniform over the world up hemisphere. ----
+    from tpu_pt.core.sampling import uniform_hemisphere
+
+    dh, pdf_h = uniform_hemisphere(u)
+    # local z -> world +y (the reference's hemisphere light is about world up)
+    wi_h = jnp.stack([dh[..., 0], dh[..., 2], dh[..., 1]], axis=-1)
+    rad_h = jnp.broadcast_to(rad, p.shape)
+
+    inf = jnp.full_like(dist_a, 1e30)
+    one = jnp.ones_like(dist_a)
+
+    def sel(a, pnt, drc, hemi):
+        return jnp.where(kind == LIGHT_AREA, a,
+               jnp.where(kind == LIGHT_POINT, pnt,
+               jnp.where(kind == LIGHT_DIRECTIONAL, drc, hemi)))
+
+    return LightSample(
+        wi=sel(wi_a, wi_p, wi_d, wi_h),
+        dist=sel(dist_a, dist_p, inf, inf),
+        radiance=sel(rad_a, rad_p, rad_d, rad_h),
+        pdf=sel(pdf_a, one, one, pdf_h),
+        delta=jnp.broadcast_to(
+            (kind == LIGHT_POINT) | (kind == LIGHT_DIRECTIONAL), dist_a.shape
+        ),
+    )
