@@ -31,6 +31,21 @@ def draws(key, ray_ids, draw_id: int, n: int):
     return jax.vmap(lambda kk: jax.random.uniform(kk, (n,), dtype=jnp.float32))(ks)
 
 
+def draws_lane(key, ray_ids, draw_ids, n: int):
+    """Like :func:`draws` but with a PER-LANE draw id (traced int32 array).
+
+    Used by the persistent wavefront renderer where lanes sit at different
+    bounce depths: ``draws_lane(key, ids, 1 + depth*64 + off, n)`` produces
+    bit-identical values to ``draws(key, ids, 1 + d*64 + off, n)`` for a lane
+    at depth d — which is what keeps wavefront output equal to the oracle's.
+    """
+    def one(i, d):
+        kk = jax.random.fold_in(jax.random.fold_in(key, d), i)
+        return jax.random.uniform(kk, (n,), dtype=jnp.float32)
+
+    return jax.vmap(one)(ray_ids, draw_ids)
+
+
 def cosine_hemisphere(u):
     """Cosine-weighted hemisphere sample in the local frame (z = normal).
 
