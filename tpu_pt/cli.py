@@ -67,12 +67,24 @@ def cmd_render(args) -> int:
         from tpu_pt.render.driver import render
 
         img = render(scene, cam, cfg, key, backend="brute")
-    else:
+    elif args.backend == "bvh":
         from tpu_pt.bvh.sah import build_bvh
         from tpu_pt.render.driver import render
 
         bvh = build_bvh(scene)
         img = render(scene, cam, cfg, key, backend="bvh", bvh=bvh)
+    else:  # wavefront — the TPU performance path
+        import numpy as np
+
+        from tpu_pt.bvh.sah import build_bvh
+        from tpu_pt.render.wavefront import render_wavefront
+
+        bvh = build_bvh(scene)
+        img = np.asarray(
+            jax.block_until_ready(
+                render_wavefront(scene, cam, cfg, key, bvh, queue=args.queue)
+            )
+        )
     dt = time.time() - t0
 
     n_rays = cfg.n_pixels * cfg.spp  # primary rays (bounces extra)
@@ -126,7 +138,10 @@ def main(argv=None) -> int:
     pr.add_argument("-f", "--outfile", default="out.png")
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--direct-only", action="store_true")
-    pr.add_argument("--backend", choices=["brute", "bvh"], default="bvh")
+    pr.add_argument("--backend", choices=["brute", "bvh", "wavefront"],
+                    default="wavefront")
+    pr.add_argument("--queue", type=int, default=1 << 17,
+                    help="wavefront queue size (lanes)")
     pr.set_defaults(fn=cmd_render)
 
     pb = sub.add_parser("dump-bvh", help="print BVH structure stats")

@@ -1,0 +1,201 @@
+"""Persistent-wavefront renderer — the TPU performance path.
+
+This is the heart of the TPU-native design (SURVEY.md §2 "Parallelism
+strategies", §5 "Long-context…the wavefront transform", §7 step 4).  The
+reference's CUDA megakernel gives every pixel a thread that recurses through
+bounces, paying warp divergence in the BVH walk (SURVEY.md §3.2).  On TPU we
+invert the loop: bounce depth becomes the OUTER loop over one global,
+fixed-size ray queue.
+
+Stream compaction, TPU-style: GPU wavefront tracers shrink the queue each
+bounce (sort + kernel launch on the live prefix).  XLA needs static shapes,
+so instead of shrinking, the queue is kept **always full**: every step, dead
+lanes are *refilled* with fresh camera samples from the remaining sample
+budget, so lanes at different bounce depths coexist and occupancy stays at
+100% until the tail.  That is strictly better than compaction-to-prefix —
+there is no idle lane for the whole steady state — and it is exactly
+BASELINE.json's "wavefront (stream-compacted megakernel-free) ray batches"
+rebuilt for XLA semantics.
+
+Determinism: randomness is counter-based per (sample id, depth, purpose)
+(core/sampling.py), so this renderer produces bit-identical radiance samples
+to the unrolled oracle integrator regardless of lane scheduling — tested in
+tests/test_wavefront.py.
+
+The outer loop is a ``lax.scan`` with a statically-derived step bound, so
+the whole renderer remains reverse-differentiable (the adjoint sweep runs
+scan-backward; per-bounce gradient work is the "backward bounce sweep" of
+BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_pt.config import RenderConfig
+from tpu_pt.core.camera import generate_rays, pixel_xy
+from tpu_pt.core.sampling import draws_lane
+from tpu_pt.core.vecmath import dot, make_coord_space, to_local, to_world
+from tpu_pt.render import bsdf as bsdf_mod
+from tpu_pt.render import lights as lights_mod
+from tpu_pt.render.integrator import _BSDF, _LIGHT0, _RR, _STRIDE, DRAW_JITTER, shade_info
+from tpu_pt.scene.types import Scene
+
+
+class QueueState(NamedTuple):
+    """One lane per in-flight path segment."""
+
+    ro: jnp.ndarray          # (Q, 3)
+    rd: jnp.ndarray          # (Q, 3)
+    beta: jnp.ndarray       # (Q, 3) path throughput
+    ray_id: jnp.ndarray      # (Q,) logical sample id (pixel*spp + s); -1 idle
+    depth: jnp.ndarray       # (Q,) current bounce depth
+    include_le: jnp.ndarray  # (Q, 1) add emission at next hit
+    alive: jnp.ndarray       # (Q, 1) lane carries a live path
+    next_sample: jnp.ndarray  # () int32 — next unspawned sample id
+    accum: jnp.ndarray       # (P, 3) radiance accumulator (sum over samples)
+
+
+def _respawn(cam, cfg: RenderConfig, key, st: QueueState) -> QueueState:
+    """Fill dead lanes with fresh camera samples from the remaining budget."""
+    total = jnp.int32(cfg.n_pixels * cfg.spp)
+    dead = ~st.alive[:, 0]
+    rank = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
+    cand = st.next_sample + rank
+    spawn = dead & (cand < total)
+    n_spawned = jnp.sum(spawn.astype(jnp.int32))
+
+    new_id = jnp.where(spawn, cand, st.ray_id)
+    pixel = jnp.where(spawn, cand // cfg.spp, 0).astype(jnp.int32)
+    jitter = draws_lane(key, new_id, jnp.zeros_like(new_id) + DRAW_JITTER, 2)
+    xy = pixel_xy(cfg.width, cfg.height, pixel, jax.lax.stop_gradient(jitter))
+    ro_new, rd_new = generate_rays(cam, xy)
+
+    spawn_c = spawn[:, None]
+    return st._replace(
+        ro=jnp.where(spawn_c, ro_new, st.ro),
+        rd=jnp.where(spawn_c, rd_new, st.rd),
+        beta=jnp.where(spawn_c, 1.0, st.beta),
+        ray_id=new_id,
+        depth=jnp.where(spawn, 0, st.depth),
+        include_le=jnp.where(spawn_c, True, st.include_le),
+        alive=st.alive | spawn_c,
+        next_sample=st.next_sample + n_spawned,
+    )
+
+
+def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
+          st: QueueState) -> QueueState:
+    """One wavefront iteration: respawn → intersect → shade/NEE → scatter."""
+    st = _respawn(cam, cfg, key, st)
+    Q = st.ro.shape[0]
+    base = 1 + st.depth * _STRIDE  # (Q,) per-lane draw base
+
+    t_min = jnp.zeros((Q, 1), jnp.float32)
+    t_max = jnp.full((Q, 1), 1e30, jnp.float32)
+    hit = intersect_fn(scene, st.ro, st.rd, t_min, t_max)
+    alive = st.alive & hit.hit
+    si = shade_info(scene, st.ro, st.rd, hit)
+    wo_world = -st.rd
+    tb, bb = make_coord_space(si.ns)
+    wo = to_local(wo_world, tb, bb, si.ns)
+    pixel = jnp.maximum(st.ray_id, 0) // cfg.spp
+
+    contrib = jnp.zeros((Q, 3), jnp.float32)
+    # Emission at hit (one-sided).
+    front = dot(wo_world, si.ns) > 0.0
+    contrib = contrib + jnp.where(
+        alive & st.include_le & front, st.beta * si.mat.emission, 0.0
+    )
+
+    # ---- Next-event estimation. ----
+    delta_b = bsdf_mod.is_delta(si.mat)
+    ns = cfg.ns_area_light
+    for li in range(scene.lights.count):
+        for s in range(ns):
+            u = draws_lane(key, st.ray_id, base + _LIGHT0 + li * ns + s, 2)
+            ls = lights_mod.sample_light(scene.lights, li, si.p, u)
+            wi_l = to_local(ls.wi, tb, bb, si.ns)
+            f = bsdf_mod.eval_f(si.mat, wo, wi_l)
+            cos_s = jnp.maximum(wi_l[..., 2:3], 0.0)
+            mask = (
+                alive & ~delta_b & (cos_s > 0.0)
+                & (jnp.max(f * ls.radiance, axis=-1, keepdims=True) > 0.0)
+            )
+            shadow_o = si.p + si.ng * jnp.where(
+                dot(ls.wi, si.ng) > 0.0, cfg.eps, -cfg.eps
+            )
+            occ = occluded_fn(scene, shadow_o, ls.wi, ls.dist * (1.0 - 1e-3))
+            w = f * ls.radiance * cos_s / (ls.pdf * ns)
+            contrib = contrib + jnp.where(mask & ~occ, st.beta * w, 0.0)
+
+    accum = st.accum.at[pixel].add(
+        jnp.where(st.alive, contrib, 0.0), mode="drop"
+    )
+
+    # ---- Scatter to next bounce. ----
+    max_depth = 0 if cfg.direct_only else cfg.max_depth
+    u3 = draws_lane(key, st.ray_id, base + _BSDF, 3)
+    bs = bsdf_mod.sample(si.mat, wo, jax.lax.stop_gradient(u3))
+    wi_world = to_world(jax.lax.stop_gradient(bs.wi), tb, bb, si.ns)
+    cont = alive & bs.valid & (st.depth < max_depth)[:, None]
+    beta = st.beta * jnp.where(cont, bs.weight, 1.0)
+    # Russian roulette on the segment about to be traced.
+    do_rr = (st.depth + 1 >= cfg.rr_start)[:, None]
+    u_rr = draws_lane(key, st.ray_id, base + _RR, 1)
+    rr_kill = do_rr & (u_rr >= cfg.rr_prob)
+    beta = jnp.where(cont & do_rr, beta / cfg.rr_prob, beta)
+    cont = cont & ~rr_kill
+
+    ro_next = si.p + si.ng * jnp.where(dot(wi_world, si.ng) > 0.0, cfg.eps, -cfg.eps)
+    return st._replace(
+        ro=jnp.where(cont, ro_next, st.ro),
+        rd=jnp.where(cont, wi_world, st.rd),
+        beta=jnp.where(cont, beta, st.beta),
+        depth=st.depth + 1,
+        include_le=jnp.where(cont, bs.delta, st.include_le),
+        alive=cont,
+        accum=accum,
+    )
+
+
+def n_steps(cfg: RenderConfig, queue: int) -> int:
+    """Static upper bound on wavefront iterations: every step consumes Q
+    path segments while the budget lasts, plus a drain tail of max path
+    length."""
+    depth = 1 if cfg.direct_only else cfg.max_depth + 1
+    total_segments = cfg.n_pixels * cfg.spp * depth
+    return -(-total_segments // queue) + depth
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "queue", "backend"))
+def render_wavefront(scene: Scene, cam, cfg: RenderConfig, key, bvh,
+                     queue: int = 1 << 17, backend: str = "bvh"):
+    """Full-image render -> (H, W, 3) linear radiance."""
+    from tpu_pt.render.driver import _intersectors
+
+    intersect_fn, occluded_fn = _intersectors(backend, bvh)
+    Q = min(queue, cfg.n_pixels * cfg.spp)
+    st = QueueState(
+        ro=jnp.zeros((Q, 3), jnp.float32),
+        rd=jnp.concatenate([jnp.zeros((Q, 2)), jnp.ones((Q, 1))], -1),
+        beta=jnp.zeros((Q, 3), jnp.float32),
+        ray_id=jnp.full((Q,), -1, jnp.int32),
+        depth=jnp.zeros((Q,), jnp.int32),
+        include_le=jnp.zeros((Q, 1), bool),
+        alive=jnp.zeros((Q, 1), bool),
+        next_sample=jnp.int32(0),
+        accum=jnp.zeros((cfg.n_pixels, 3), jnp.float32),
+    )
+    steps = n_steps(cfg, Q)
+
+    def body(st, _):
+        return _step(scene, cam, cfg, key, intersect_fn, occluded_fn, st), None
+
+    st, _ = jax.lax.scan(body, st, None, length=steps)
+    img = st.accum / cfg.spp
+    return img.reshape(cfg.height, cfg.width, 3)
