@@ -52,6 +52,9 @@ def _prim_test(scene: Scene, prim_id, active, ro, rd, t_min, t_max):
 
 def intersect(bvh: FlatBVH, scene: Scene, ro, rd, t_min, t_max) -> Hit:
     """Nearest-hit traversal.  ro/rd (R,3); t_min/t_max (R,1) -> Hit."""
+    # Host builders produce numpy-leaf pytrees; promote for traced indexing.
+    bvh = jax.tree.map(jnp.asarray, bvh)
+    scene = jax.tree.map(jnp.asarray, scene)
     R = ro.shape[0]
     n_nodes = bvh.n_nodes
     rd_inv = 1.0 / rd  # ±inf where a component is 0 — slab_test guards nans
@@ -111,6 +114,8 @@ def intersect(bvh: FlatBVH, scene: Scene, ro, rd, t_min, t_max) -> Hit:
 
 def occluded(bvh: FlatBVH, scene: Scene, ro, rd, t_max):
     """Any-hit shadow query: terminates a lane on its first hit.  (R,1) bool."""
+    bvh = jax.tree.map(jnp.asarray, bvh)
+    scene = jax.tree.map(jnp.asarray, scene)
     R = ro.shape[0]
     n_nodes = bvh.n_nodes
     t_min = jnp.zeros((R, 1), jnp.float32)

@@ -158,10 +158,10 @@ def build_bvh(scene: Scene, max_leaf: int = MAX_LEAF) -> FlatBVH:
             skip[idx] = target
 
     return FlatBVH(
-        node_min=jnp.asarray(np.asarray(out_lo, np.float32)),
-        node_max=jnp.asarray(np.asarray(out_hi, np.float32)),
-        skip=jnp.asarray(skip),
-        prim_start=jnp.asarray(np.asarray(out_start, np.int32)),
-        prim_count=jnp.asarray(np.asarray(out_count, np.int32)),
-        prim_ids=jnp.asarray(prim_perm),
+        node_min=np.asarray(out_lo, np.float32),
+        node_max=np.asarray(out_hi, np.float32),
+        skip=skip,
+        prim_start=np.asarray(out_start, np.int32),
+        prim_count=np.asarray(out_count, np.int32),
+        prim_ids=prim_perm,
     )

@@ -76,13 +76,16 @@ def cmd_render(args) -> int:
     else:  # wavefront — the TPU performance path
         import numpy as np
 
+        from tpu_pt.bvh.packed import pack_bvh
         from tpu_pt.bvh.sah import build_bvh
         from tpu_pt.render.wavefront import render_wavefront
 
-        bvh = build_bvh(scene)
+        packed = jax.device_put(pack_bvh(build_bvh(scene), scene))
+        scene = jax.device_put(scene)
         img = np.asarray(
             jax.block_until_ready(
-                render_wavefront(scene, cam, cfg, key, bvh, queue=args.queue)
+                render_wavefront(scene, cam, cfg, key, packed,
+                                 queue=args.queue, backend="packed")
             )
         )
     dt = time.time() - t0

@@ -1,0 +1,138 @@
+"""Multi-chip / multi-host distribution: tile sharding over a device mesh.
+
+Replaces the reference's distributed layer (SURVEY.md §2 row 15: image-space
+tile split across GPUs/nodes with a master/worker dynamic assignment over
+MPI/sockets, §3.3).  The TPU-native design has NO transport code at all
+(SURVEY.md §5 "Distributed communication backend"):
+
+  - a ``jax.sharding.Mesh`` over all chips, axis "tile";
+  - ``shard_map``: each chip renders a contiguous pixel range with the
+    persistent-wavefront renderer; the scene + BVH are replicated;
+  - the final image is a sharded array — assembling it on host 0 is just
+    ``jax.device_get`` (XLA all-gathers lazily if asked);
+  - gradient reduction is ``psum`` over the mesh (it rides ICI inside a
+    slice, DCN between slices), inserted automatically by shard_map's AD
+    transpose for the replicated parameters.
+
+Load balance: the reference needed *dynamic* tile assignment because its
+tiles had wildly-varying cost (SURVEY.md §2 row 15).  The wavefront design
+removes most of that variance — each chip's queue is always full regardless
+of which pixels terminate early — so a static equal split of pixels loses
+little; chips only drain-idle at the very tail.
+
+Multi-host: call ``jax.distributed.initialize()`` before building the mesh
+(``init_distributed``); everything else is identical — the mesh just spans
+more chips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from tpu_pt.config import RenderConfig
+from tpu_pt.diff.params import merge
+from tpu_pt.render.wavefront import wavefront_accum
+from tpu_pt.scene.types import Scene
+
+
+def init_distributed(**kw) -> None:
+    """Multi-host bring-up (no-op on a single host)."""
+    try:
+        jax.distributed.initialize(**kw)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "tile") -> Mesh:
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _pad_pixels(n_pix: int, n_shards: int) -> int:
+    return -(-n_pix // n_shards) * n_shards
+
+
+def render_sharded(scene: Scene, cam, cfg: RenderConfig, key, bvh, mesh: Mesh,
+                   queue: int = 1 << 15, backend: str = "bvh"):
+    """Tile-sharded render over `mesh` -> (H, W, 3) on host.
+
+    Each shard renders pixels [shard*block, (shard+1)*block); ray ids are
+    global, so the result is bit-identical to the single-device render
+    (tests/test_dist.py asserts this on the 8-device CPU mesh).
+    """
+    n = mesh.devices.size
+    padded = _pad_pixels(cfg.n_pixels, n)
+    block = padded // n
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P("tile")),
+        out_specs=P("tile"),
+    )
+    def shard_render(scene_r, cam_r, bvh_r, shard_ids):
+        pix_lo = shard_ids[0] * block
+        accum = wavefront_accum(
+            scene_r, cam_r, cfg, key, bvh_r, queue, backend, pix_lo, block
+        )
+        return accum
+
+    shard_ids = jnp.arange(n, dtype=jnp.int32)
+    accum = shard_render(scene, cam, bvh, shard_ids)
+    img = (accum / cfg.spp)[: cfg.n_pixels]
+    return img.reshape(cfg.height, cfg.width, 3)
+
+
+def loss_and_grad_sharded(params, scene: Scene, cam, cfg: RenderConfig, key,
+                          target, bvh, mesh: Mesh, queue: int = 1 << 14,
+                          backend: str = "bvh"):
+    """Sharded inverse-rendering step — the "training step" of this
+    framework.  Forward: tile-sharded wavefront render; backward: adjoint
+    sweep per shard + automatic psum of parameter grads over the mesh
+    (BASELINE.json config 5: "grad allreduce overlapped" — XLA overlaps the
+    per-shard backward compute with the psum since the collective only
+    depends on each shard's finished grads).
+
+    target: (padded_pixels, 3) with padded_pixels = ceil(n_pix/n)*n.
+    Returns (loss, grads) replicated on every device.
+    """
+    n = mesh.devices.size
+    padded = _pad_pixels(cfg.n_pixels, n)
+    block = padded // n
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("tile"), P("tile")),
+        out_specs=(P(), jax.tree.map(lambda _: P(), params)),
+        check_vma=False,
+    )
+    def step(params_r, scene_r, cam_r, bvh_r, target_blk, shard_ids):
+        pix_lo = shard_ids[0] * block
+
+        def local_loss(p):
+            sc = merge(p, scene_r)
+            accum = wavefront_accum(
+                sc, cam_r, cfg, key, bvh_r, queue, backend, pix_lo, block
+            )
+            img = accum / cfg.spp
+            # Padding tail pixels (>= n_pixels) are masked out of the loss.
+            pix_ids = pix_lo + jnp.arange(block)
+            mask = (pix_ids < cfg.n_pixels)[:, None]
+            return jnp.sum(jnp.where(mask, (img - target_blk) ** 2, 0.0))
+
+        loss, grads = jax.value_and_grad(local_loss)(params_r)
+        loss = jax.lax.psum(loss, "tile") / (cfg.n_pixels * 3)
+        grads = jax.lax.psum(grads, "tile")
+        return loss, grads
+
+    shard_ids = jnp.arange(n, dtype=jnp.int32)
+    tgt = jnp.zeros((padded, 3), jnp.float32).at[: cfg.n_pixels].set(
+        target.reshape(-1, 3)
+    )
+    return step(params, scene, cam, bvh, tgt, shard_ids)

@@ -35,6 +35,15 @@ def _intersectors(backend: str, bvh=None):
             functools.partial(flat.intersect, bvh),
             functools.partial(flat.occluded, bvh),
         )
+    if backend == "packed":
+        from tpu_pt.bvh import packed as packed_mod
+
+        if bvh is None:
+            raise ValueError("backend='packed' requires a PackedBVH")
+        return (
+            functools.partial(packed_mod.intersect, bvh),
+            functools.partial(packed_mod.occluded, bvh),
+        )
     raise ValueError(f"unknown backend {backend!r}")
 
 

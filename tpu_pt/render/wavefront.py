@@ -60,17 +60,28 @@ class QueueState(NamedTuple):
     accum: jnp.ndarray       # (P, 3) radiance accumulator (sum over samples)
 
 
-def _respawn(cam, cfg: RenderConfig, key, st: QueueState) -> QueueState:
-    """Fill dead lanes with fresh camera samples from the remaining budget."""
-    total = jnp.int32(cfg.n_pixels * cfg.spp)
+def _respawn(cam, cfg: RenderConfig, key, st: QueueState, pix_lo, n_pix_local) -> QueueState:
+    """Fill dead lanes with fresh camera samples from the remaining budget.
+
+    The sample stream covers pixels [pix_lo, pix_lo + n_pix_local); with
+    pix_lo=0, n_pix_local=n_pixels this is the whole image.  Tile sharding
+    (tpu_pt/dist) gives each chip its own contiguous pixel range, so ray_ids
+    — and therefore random numbers — are *globally* consistent: the sharded
+    image equals the single-chip image bit-for-bit.
+    """
+    total = jnp.int32(n_pix_local * cfg.spp)
     dead = ~st.alive[:, 0]
     rank = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
     cand = st.next_sample + rank
     spawn = dead & (cand < total)
     n_spawned = jnp.sum(spawn.astype(jnp.int32))
 
-    new_id = jnp.where(spawn, cand, st.ray_id)
-    pixel = jnp.where(spawn, cand // cfg.spp, 0).astype(jnp.int32)
+    # Global sample id keyed off the global pixel index (RNG consistency).
+    pixel_local = cand // cfg.spp
+    pixel = (pix_lo + jnp.where(spawn, pixel_local, 0)).astype(jnp.int32)
+    new_id = jnp.where(
+        spawn, pixel * cfg.spp + cand % cfg.spp, st.ray_id
+    )
     jitter = draws_lane(key, new_id, jnp.zeros_like(new_id) + DRAW_JITTER, 2)
     xy = pixel_xy(cfg.width, cfg.height, pixel, jax.lax.stop_gradient(jitter))
     ro_new, rd_new = generate_rays(cam, xy)
@@ -89,9 +100,9 @@ def _respawn(cam, cfg: RenderConfig, key, st: QueueState) -> QueueState:
 
 
 def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
-          st: QueueState) -> QueueState:
+          st: QueueState, pix_lo, n_pix_local) -> QueueState:
     """One wavefront iteration: respawn → intersect → shade/NEE → scatter."""
-    st = _respawn(cam, cfg, key, st)
+    st = _respawn(cam, cfg, key, st, pix_lo, n_pix_local)
     Q = st.ro.shape[0]
     base = 1 + st.depth * _STRIDE  # (Q,) per-lane draw base
 
@@ -103,7 +114,7 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     wo_world = -st.rd
     tb, bb = make_coord_space(si.ns)
     wo = to_local(wo_world, tb, bb, si.ns)
-    pixel = jnp.maximum(st.ray_id, 0) // cfg.spp
+    pixel = jnp.maximum(st.ray_id, 0) // cfg.spp - pix_lo  # local accum index
 
     contrib = jnp.zeros((Q, 3), jnp.float32)
     # Emission at hit (one-sided).
@@ -163,23 +174,24 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     )
 
 
-def n_steps(cfg: RenderConfig, queue: int) -> int:
+def n_steps(cfg: RenderConfig, queue: int, n_pix: int = 0) -> int:
     """Static upper bound on wavefront iterations: every step consumes Q
     path segments while the budget lasts, plus a drain tail of max path
     length."""
+    n_pix = n_pix or cfg.n_pixels
     depth = 1 if cfg.direct_only else cfg.max_depth + 1
-    total_segments = cfg.n_pixels * cfg.spp * depth
+    total_segments = n_pix * cfg.spp * depth
     return -(-total_segments // queue) + depth
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "queue", "backend"))
-def render_wavefront(scene: Scene, cam, cfg: RenderConfig, key, bvh,
-                     queue: int = 1 << 17, backend: str = "bvh"):
-    """Full-image render -> (H, W, 3) linear radiance."""
+def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
+                    queue: int, backend: str, pix_lo, n_pix_local: int):
+    """Render pixels [pix_lo, pix_lo+n_pix_local) -> (n_pix_local, 3) sums
+    (divide by spp for radiance).  pix_lo may be traced (per-shard)."""
     from tpu_pt.render.driver import _intersectors
 
     intersect_fn, occluded_fn = _intersectors(backend, bvh)
-    Q = min(queue, cfg.n_pixels * cfg.spp)
+    Q = min(queue, n_pix_local * cfg.spp)
     st = QueueState(
         ro=jnp.zeros((Q, 3), jnp.float32),
         rd=jnp.concatenate([jnp.zeros((Q, 2)), jnp.ones((Q, 1))], -1),
@@ -189,13 +201,27 @@ def render_wavefront(scene: Scene, cam, cfg: RenderConfig, key, bvh,
         include_le=jnp.zeros((Q, 1), bool),
         alive=jnp.zeros((Q, 1), bool),
         next_sample=jnp.int32(0),
-        accum=jnp.zeros((cfg.n_pixels, 3), jnp.float32),
+        accum=jnp.zeros((n_pix_local, 3), jnp.float32),
     )
-    steps = n_steps(cfg, Q)
+    steps = n_steps(cfg, Q, n_pix_local)
+    pix_lo = jnp.int32(pix_lo)
 
     def body(st, _):
-        return _step(scene, cam, cfg, key, intersect_fn, occluded_fn, st), None
+        return (
+            _step(scene, cam, cfg, key, intersect_fn, occluded_fn, st,
+                  pix_lo, n_pix_local),
+            None,
+        )
 
     st, _ = jax.lax.scan(body, st, None, length=steps)
-    img = st.accum / cfg.spp
+    return st.accum
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "queue", "backend"))
+def render_wavefront(scene: Scene, cam, cfg: RenderConfig, key, bvh,
+                     queue: int = 1 << 17, backend: str = "bvh"):
+    """Full-image render -> (H, W, 3) linear radiance."""
+    accum = wavefront_accum(scene, cam, cfg, key, bvh, queue, backend,
+                            0, cfg.n_pixels)
+    img = accum / cfg.spp
     return img.reshape(cfg.height, cfg.width, 3)

@@ -96,9 +96,7 @@ def make_materials(rows) -> Materials:
         ior[i] = r.get("ior", 1.5)
         rough[i] = r.get("roughness", 0.0)
     return Materials(
-        kind=jnp.asarray(kind), albedo=jnp.asarray(albedo),
-        emission=jnp.asarray(emission), ior=jnp.asarray(ior),
-        roughness=jnp.asarray(rough),
+        kind=kind, albedo=albedo, emission=emission, ior=ior, roughness=rough,
     )
 
 
@@ -122,9 +120,8 @@ def make_lights(rows) -> Lights:
         ey[i] = np.asarray(r.get("edge_y", (0, 0, 1)), np.float32)
         nrm[i] = np.asarray(r.get("normal", (0, -1, 0)), np.float32)
         rad[i] = np.asarray(r.get("radiance", (0, 0, 0)), np.float32)
-    return Lights(kind=jnp.asarray(kind), position=jnp.asarray(pos),
-                  edge_x=jnp.asarray(ex), edge_y=jnp.asarray(ey),
-                  normal=jnp.asarray(nrm), radiance=jnp.asarray(rad))
+    return Lights(kind=kind, position=pos, edge_x=ex, edge_y=ey,
+                  normal=nrm, radiance=rad)
 
 
 def make_scene(vertices, tri_idx, tri_mat, materials: Materials,
@@ -150,13 +147,13 @@ def make_scene(vertices, tri_idx, tri_mat, materials: Materials,
         sph_radius = np.zeros((1,), np.float32)
         sph_mat = np.zeros((1,), np.int32)
     return Scene(
-        vertices=jnp.asarray(vertices),
-        normals=jnp.asarray(normals),
-        tri_idx=jnp.asarray(tri_idx),
-        tri_mat=jnp.asarray(tri_mat),
-        sph_center=jnp.asarray(np.asarray(sph_center, np.float32).reshape(-1, 3)),
-        sph_radius=jnp.asarray(np.asarray(sph_radius, np.float32).reshape(-1)),
-        sph_mat=jnp.asarray(np.asarray(sph_mat, np.int32).reshape(-1)),
+        vertices=vertices,
+        normals=normals,
+        tri_idx=tri_idx,
+        tri_mat=tri_mat,
+        sph_center=np.asarray(sph_center, np.float32).reshape(-1, 3),
+        sph_radius=np.asarray(sph_radius, np.float32).reshape(-1),
+        sph_mat=np.asarray(sph_mat, np.int32).reshape(-1),
         materials=materials,
         lights=lights,
     )
