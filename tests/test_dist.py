@@ -1,0 +1,90 @@
+"""Distribution tests on the 8-virtual-device CPU mesh (SURVEY.md §4 item 5):
+the identical shard_map tile-sharded renderer must match the single-device
+image, and psum'd grads must equal the unsharded grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pt.bvh.packed import pack_bvh
+from tpu_pt.bvh.sah import build_bvh
+from tpu_pt.config import RenderConfig
+from tpu_pt.diff.params import split
+from tpu_pt.dist.sharding import loss_and_grad_sharded, make_mesh, render_sharded
+from tpu_pt.render.wavefront import render_wavefront
+from tpu_pt.scene import cornell
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = cornell.cornell("spheres")
+    packed = pack_bvh(build_bvh(scene), scene)
+    return scene, packed
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_render_matches_single(setup):
+    scene, packed = setup
+    cfg = RenderConfig(width=16, height=16, spp=4, max_depth=2)
+    cam = cornell.camera(16, 16)
+    key = jax.random.key(0)
+    mesh = make_mesh()
+    img_1 = np.asarray(render_wavefront(scene, cam, cfg, key, packed,
+                                        queue=512, backend="packed"))
+    img_n = np.asarray(render_sharded(scene, cam, cfg, key, packed, mesh,
+                                      queue=512, backend="packed"))
+    np.testing.assert_allclose(img_n, img_1, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_render_nondivisible_pixels(setup):
+    scene, packed = setup
+    # 18*18 = 324 pixels, not divisible by 8 shards → padded tail.
+    cfg = RenderConfig(width=18, height=18, spp=2, max_depth=1)
+    cam = cornell.camera(18, 18)
+    key = jax.random.key(1)
+    mesh = make_mesh()
+    img_1 = np.asarray(render_wavefront(scene, cam, cfg, key, packed,
+                                        queue=512, backend="packed"))
+    img_n = np.asarray(render_sharded(scene, cam, cfg, key, packed, mesh,
+                                      queue=512, backend="packed"))
+    np.testing.assert_allclose(img_n, img_1, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_grads_match_unsharded(setup):
+    scene, packed = setup
+    cfg = RenderConfig(width=8, height=8, spp=2, max_depth=1)
+    cam = cornell.camera(8, 8)
+    key = jax.random.key(2)
+    mesh = make_mesh()
+    params, _ = split(scene)
+
+    # Unsharded reference: grad of summed-MSE via the wavefront renderer.
+    from tpu_pt.diff.params import merge
+
+    target = np.asarray(
+        render_wavefront(scene, cam, cfg, key, packed, queue=256,
+                         backend="packed")
+    ).reshape(-1, 3) * 0.5
+
+    def ref_loss(p):
+        img = render_wavefront(merge(p, scene), cam, cfg, key, packed,
+                               queue=256, backend="packed").reshape(-1, 3)
+        return jnp.sum((img - target) ** 2) / (cfg.n_pixels * 3)
+
+    loss_ref, grads_ref = jax.value_and_grad(ref_loss)(params)
+
+    loss_sh, grads_sh = loss_and_grad_sharded(
+        params, scene, cam, cfg, key, jnp.asarray(target), packed, mesh,
+        queue=256, backend="packed",
+    )
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    for k in grads_ref:
+        np.testing.assert_allclose(
+            np.asarray(grads_sh[k]), np.asarray(grads_ref[k]),
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )

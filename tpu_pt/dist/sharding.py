@@ -34,7 +34,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from tpu_pt.config import RenderConfig
 from tpu_pt.diff.params import merge
@@ -75,6 +78,10 @@ def render_sharded(scene: Scene, cam, cfg: RenderConfig, key, bvh, mesh: Mesh,
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P("tile")),
         out_specs=P("tile"),
+        # The wavefront loop carries start replicated and become shard-varying
+        # (they depend on the shard's pixel range); disable the static
+        # varying-axes check — test_dist.py proves the semantics.
+        check_vma=False,
     )
     def shard_render(scene_r, cam_r, bvh_r, shard_ids):
         pix_lo = shard_ids[0] * block
@@ -124,10 +131,11 @@ def loss_and_grad_sharded(params, scene: Scene, cam, cfg: RenderConfig, key,
             # Padding tail pixels (>= n_pixels) are masked out of the loss.
             pix_ids = pix_lo + jnp.arange(block)
             mask = (pix_ids < cfg.n_pixels)[:, None]
-            return jnp.sum(jnp.where(mask, (img - target_blk) ** 2, 0.0))
+            sq = jnp.sum(jnp.where(mask, (img - target_blk) ** 2, 0.0))
+            return sq / (cfg.n_pixels * 3)  # normalize INSIDE so grads match
 
         loss, grads = jax.value_and_grad(local_loss)(params_r)
-        loss = jax.lax.psum(loss, "tile") / (cfg.n_pixels * 3)
+        loss = jax.lax.psum(loss, "tile")
         grads = jax.lax.psum(grads, "tile")
         return loss, grads
 
