@@ -48,7 +48,8 @@ class PackedBVH:
         # nodes: (8, N, 8) f32 per ray-direction octant:
         #   [min.xyz, max.xyz, skip(i32 bitcast), meta(i32 bitcast)]
         #   meta: -1 for inner; else prim_slot_start | (count << 26)
-        # prims: (P, 12) f32 rows:
+        # prims: (P, 16) f32 rows (16-wide: aligned gathers are ~100x faster
+        #        than 12-wide on TPU):
         #   tri:    [v0, e1, e2, matf, 0(type), pad]
         #   sphere: [center, r, 0,0, 0,0,0, matf, 1(type), pad]
         # prim_gid: (P,) i32 global primitive id per packed row
@@ -148,7 +149,7 @@ def pack_bvh(bvh: FlatBVH, scene: Scene, max_leaf: int = 4) -> PackedBVH:
     sm = np.asarray(scene.sph_mat)
     n_tris = ti.shape[0]
     p = len(pid)
-    rows = np.zeros((p, 12), np.float32)
+    rows = np.zeros((p, 16), np.float32)
     is_tri = pid < n_tris
     tg = pid[is_tri]
     v0 = v[ti[tg, 0]]
@@ -170,7 +171,7 @@ def pack_bvh(bvh: FlatBVH, scene: Scene, max_leaf: int = 4) -> PackedBVH:
 
 
 def _prim_row_test(row, active, ro, rd, t_min, t_max):
-    """Möller–Trumbore / sphere test against packed rows.  row: (R, 12)."""
+    """Möller–Trumbore / sphere test against packed rows.  row: (R, 16)."""
     is_sph = row[:, 10:11] > 0.5
     v0 = row[:, 0:3]
     e1 = row[:, 3:6]

@@ -14,7 +14,9 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from tpu_pt.core.vecmath import dot, normalize
-from tpu_pt.scene.types import LIGHT_AREA, LIGHT_POINT, LIGHT_DIRECTIONAL, LIGHT_HEMISPHERE
+from tpu_pt.scene.types import (
+    LIGHT_AREA, LIGHT_POINT, LIGHT_DIRECTIONAL, LIGHT_HEMISPHERE, LIGHT_TRI,
+)
 
 
 class LightSample(NamedTuple):
@@ -35,13 +37,19 @@ def sample_light(lights, li: int, p, u):
     nrm = lights.normal[li]
     rad = lights.radiance[li]
 
-    # ---- Area quad light (the Cornell-box light). ----
-    q = pos + u[..., 0:1] * ex + u[..., 1:2] * ey
+    # ---- Area quad light (the Cornell-box light).  LIGHT_TRI folds the
+    # unit square onto the triangle (u1+u2<=1) — uniform over the triangle,
+    # pdf = 1/(0.5*|ex×ey|). ----
+    is_tri = kind == LIGHT_TRI
+    fold = is_tri & ((u[..., 0:1] + u[..., 1:2]) > 1.0)
+    u0 = jnp.where(fold, 1.0 - u[..., 0:1], u[..., 0:1])
+    u1 = jnp.where(fold, 1.0 - u[..., 1:2], u[..., 1:2])
+    q = pos + u0 * ex + u1 * ey
     d = q - p
     dist2 = jnp.maximum(dot(d, d), 1e-12)
     dist_a = jnp.sqrt(dist2)
     wi_a = d / dist_a
-    area = jnp.linalg.norm(jnp.cross(ex, ey))
+    area = jnp.linalg.norm(jnp.cross(ex, ey)) * jnp.where(is_tri, 0.5, 1.0)
     cos_l = dot(-wi_a, nrm)                      # emission side only
     # Solid-angle pdf of uniform-area sampling: r^2 / (A * cosL).
     pdf_a = dist2 / jnp.maximum(area * jnp.maximum(cos_l, 1e-9), 1e-12)
@@ -70,7 +78,7 @@ def sample_light(lights, li: int, p, u):
     one = jnp.ones_like(dist_a)
 
     def sel(a, pnt, drc, hemi):
-        return jnp.where(kind == LIGHT_AREA, a,
+        return jnp.where((kind == LIGHT_AREA) | is_tri, a,
                jnp.where(kind == LIGHT_POINT, pnt,
                jnp.where(kind == LIGHT_DIRECTIONAL, drc, hemi)))
 

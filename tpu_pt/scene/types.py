@@ -28,11 +28,14 @@ MAT_REFRACT = 3
 MAT_EMISSIVE = 4
 
 # Light kinds (reference: AreaLight, PointLight, DirectionalLight,
-# InfiniteHemisphereLight — SURVEY.md §2 row 7).
+# InfiniteHemisphereLight — SURVEY.md §2 row 7).  LIGHT_TRI is the mesh-light
+# form scene loaders emit for emissive triangles (no reference analogue; the
+# reference's area lights were authored as quads in the .dae <extra> data).
 LIGHT_AREA = 0
 LIGHT_POINT = 1
 LIGHT_DIRECTIONAL = 2
 LIGHT_HEMISPHERE = 3
+LIGHT_TRI = 4
 
 
 class Materials(NamedTuple):
