@@ -97,3 +97,24 @@ def test_wavefront_packed_matches_oracle(setups):
     img = np.asarray(render_wavefront(scene, cam, cfg, key, packed,
                                       queue=512, backend="packed"))
     np.testing.assert_allclose(img, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_native_builder_matches_python(setups):
+    """Native C++ builder must produce traversal-equivalent tables."""
+    from tpu_pt.bvh import native
+
+    if not native.available():
+        pytest.skip("native builder not built")
+    scene, packed_py = setups["mesh"]
+    packed_nat = native.build_packed(scene)
+    assert packed_nat.n_nodes == packed_py.n_nodes
+    ro, rd = _rays(512, 21)
+    tmin = jnp.zeros((512, 1))
+    tmax = jnp.full((512, 1), 1e30)
+    h_a = pk.intersect(packed_py, scene, ro, rd, tmin, tmax)
+    h_b = pk.intersect(packed_nat, scene, ro, rd, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(h_a.hit), np.asarray(h_b.hit))
+    m = np.asarray(h_a.hit)[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(h_a.t)[m], np.asarray(h_b.t)[m], rtol=1e-5, atol=1e-6
+    )
