@@ -36,8 +36,6 @@ def main() -> None:
     import jax
     import numpy as np
 
-    from tpu_pt.bvh.packed import pack_bvh
-    from tpu_pt.bvh.sah import build_bvh
     from tpu_pt.config import RenderConfig
     from tpu_pt.render.wavefront import n_steps, render_wavefront
     from tpu_pt.scene import meshes
@@ -54,8 +52,15 @@ def main() -> None:
                        rr_start=2, rr_prob=0.7)
 
     t0 = time.time()
-    bvh = build_bvh(scene)
-    packed = pack_bvh(bvh, scene)
+    if os.environ.get("BENCH_BVH", "sah") == "lbvh":
+        from tpu_pt.bvh.lbvh import build_lbvh
+
+        packed = build_lbvh(scene)
+        jax.block_until_ready(packed.nodes)
+    else:
+        from tpu_pt.bvh.native import build_packed_any
+
+        packed = build_packed_any(scene)
     t_build = time.time() - t0
 
     # One-shot host→HBM upload (the tunnel makes per-call transfers slow).

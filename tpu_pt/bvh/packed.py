@@ -44,30 +44,38 @@ class PackedBVH:
     never baked in as huge constants — a 60× gather slowdown, measured) while
     the leaf-unroll count stays a Python int."""
 
-    def __init__(self, nodes, prims, prim_gid, max_leaf: int = 4):
-        # nodes: (8, N, 8) f32 per ray-direction octant:
+    def __init__(self, nodes, prims, prim_gid, max_leaf: int = 4,
+                 n_tables: int = None):
+        # nodes: (K*N, 8) f32, K = n_tables (8 octant-ordered tables from the
+        #   SAH path, 1 from LBVH), PRE-flattened — reshaping a (K,N,8) arg
+        #   inside jit was measured to cost ~2 ms per while-loop iteration
+        #   (XLA sinks the relayout into the loop).  Row layout:
         #   [min.xyz, max.xyz, skip(i32 bitcast), meta(i32 bitcast)]
         #   meta: -1 for inner; else prim_slot_start | (count << 26)
-        # prims: (P, 16) f32 rows (16-wide: aligned gathers are ~100x faster
-        #        than 12-wide on TPU):
+        # prims: (P, 16) f32 rows:
         #   tri:    [v0, e1, e2, matf, 0(type), pad]
         #   sphere: [center, r, 0,0, 0,0,0, matf, 1(type), pad]
         # prim_gid: (P,) i32 global primitive id per packed row
+        if nodes.ndim == 3:  # accept (K, N, 8) and flatten at build time
+            n_tables = nodes.shape[0]
+            nodes = nodes.reshape(-1, 8)
+        assert n_tables is not None
         self.nodes = nodes
         self.prims = prims
         self.prim_gid = prim_gid
         self.max_leaf = max_leaf
+        self.n_tables = n_tables
 
     def tree_flatten(self):
-        return (self.nodes, self.prims, self.prim_gid), self.max_leaf
+        return (self.nodes, self.prims, self.prim_gid), (self.max_leaf, self.n_tables)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, max_leaf=aux)
+        return cls(*children, max_leaf=aux[0], n_tables=aux[1])
 
     @property
     def n_nodes(self) -> int:
-        return self.nodes.shape[1]
+        return self.nodes.shape[0] // self.n_tables
 
 
 def _subtree_sizes(skip, prim_count):
@@ -225,11 +233,10 @@ def _traverse(packed: PackedBVH, ro, rd, t_min, t_max, any_hit: bool):
     R = ro.shape[0]
     n = packed.n_nodes
     rd_inv = 1.0 / rd
-    octant = _octant_of(rd)
-    # Flatten (8, N, 8) → (8N, 8) and offset cursors by octant*N: keeps the
-    # per-step lookup a single gather.
-    nodes = packed.nodes.reshape(8 * n, 8)
-    base = octant * n
+    # nodes is pre-flattened (K*N, 8); offset cursors by octant*N so the
+    # per-step lookup is a single gather into one table.
+    nodes = packed.nodes
+    base = (_octant_of(rd) % packed.n_tables) * n
 
     max_leaf = packed.max_leaf
 

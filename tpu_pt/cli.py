@@ -76,11 +76,16 @@ def cmd_render(args) -> int:
     else:  # wavefront — the TPU performance path
         import numpy as np
 
-        from tpu_pt.bvh.packed import pack_bvh
-        from tpu_pt.bvh.sah import build_bvh
+        from tpu_pt.bvh.native import build_packed_any
         from tpu_pt.render.wavefront import render_wavefront
 
-        packed = jax.device_put(pack_bvh(build_bvh(scene), scene))
+        if args.bvh == "lbvh":
+            from tpu_pt.bvh.lbvh import build_lbvh
+
+            packed = build_lbvh(scene)
+        else:
+            packed = build_packed_any(scene)
+        packed = jax.device_put(packed)
         scene = jax.device_put(scene)
         img = np.asarray(
             jax.block_until_ready(
@@ -145,6 +150,8 @@ def main(argv=None) -> int:
                     default="wavefront")
     pr.add_argument("--queue", type=int, default=1 << 17,
                     help="wavefront queue size (lanes)")
+    pr.add_argument("--bvh", choices=["sah", "lbvh"], default="sah",
+                    help="BVH build: host SAH (native/C++) or device LBVH")
     pr.set_defaults(fn=cmd_render)
 
     pb = sub.add_parser("dump-bvh", help="print BVH structure stats")
