@@ -1,0 +1,85 @@
+"""Progressive, checkpointable rendering: spp-chunked accumulation.
+
+The reference kept its progressive accumulation only in memory (keyboard
+'D'/'S' dumped the current buffer; a crash lost the render — SURVEY.md §5
+"Checkpoint / resume").  Here the accumulator + sample count + config hash
+are written to an ``.npz`` after every chunk, giving free crash-resume and
+progressive preview for long renders.  Because the wavefront sample stream
+is counter-based over (pixel, sample-index), chunked accumulation sums to
+EXACTLY the one-shot image (tests/test_progressive.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from tpu_pt.config import RenderConfig
+from tpu_pt.render.wavefront import wavefront_accum
+from tpu_pt.scene.types import Scene
+
+
+def _state_key(cfg: RenderConfig, seed_key) -> str:
+    h = hashlib.sha256()
+    h.update(cfg.to_json().encode())
+    h.update(np.asarray(jax.random.key_data(seed_key)).tobytes())
+    return h.hexdigest()[:16]
+
+
+def render_progressive(
+    scene: Scene,
+    cam,
+    cfg: RenderConfig,
+    key,
+    bvh,
+    checkpoint: Optional[str] = None,
+    chunk_spp: Optional[int] = None,
+    queue: int = 1 << 17,
+    backend: str = "packed",
+    on_chunk: Optional[Callable] = None,
+):
+    """Render cfg.spp samples in chunks of ``chunk_spp`` (default
+    cfg.spp_chunk), checkpointing to ``checkpoint`` (npz) after each chunk
+    and resuming from it if present.  Returns (H, W, 3) radiance.
+
+    ``on_chunk(spp_done, image_so_far)`` is the progressive-preview hook
+    (the reference's live tile blitting, headless)."""
+    chunk_spp = chunk_spp or cfg.spp_chunk
+    state_key = _state_key(cfg, key)
+    accum = np.zeros((cfg.n_pixels, 3), np.float32)
+    spp_done = 0
+
+    if checkpoint and os.path.exists(checkpoint):
+        data = np.load(checkpoint, allow_pickle=False)
+        if str(data["state_key"]) == state_key:
+            accum = data["accum"]
+            spp_done = int(data["spp_done"])
+
+    accum_fn = jax.jit(
+        wavefront_accum,
+        static_argnames=("cfg", "queue", "backend", "n_pix_local", "spp_count"),
+    )
+
+    while spp_done < cfg.spp:
+        n = min(chunk_spp, cfg.spp - spp_done)
+        part = accum_fn(
+            scene, cam, cfg, key, bvh, queue=queue, backend=backend,
+            pix_lo=0, n_pix_local=cfg.n_pixels, spp_lo=spp_done, spp_count=n,
+        )
+        accum = accum + np.asarray(jax.block_until_ready(part))
+        spp_done += n
+        if checkpoint:
+            tmp = checkpoint + ".tmp.npz"
+            np.savez(tmp, accum=accum, spp_done=spp_done, state_key=state_key)
+            os.replace(tmp, checkpoint)
+        if on_chunk is not None:
+            preview = (accum / spp_done).reshape(cfg.height, cfg.width, 3)
+            on_chunk(spp_done, preview)
+
+    img = accum / cfg.spp
+    return img.reshape(cfg.height, cfg.width, 3)

@@ -60,16 +60,20 @@ class QueueState(NamedTuple):
     accum: jnp.ndarray       # (P, 3) radiance accumulator (sum over samples)
 
 
-def _respawn(cam, cfg: RenderConfig, key, st: QueueState, pix_lo, n_pix_local) -> QueueState:
+def _respawn(cam, cfg: RenderConfig, key, st: QueueState, pix_lo, n_pix_local,
+             spp_lo, spp_count) -> QueueState:
     """Fill dead lanes with fresh camera samples from the remaining budget.
 
-    The sample stream covers pixels [pix_lo, pix_lo + n_pix_local); with
-    pix_lo=0, n_pix_local=n_pixels this is the whole image.  Tile sharding
-    (tpu_pt/dist) gives each chip its own contiguous pixel range, so ray_ids
-    — and therefore random numbers — are *globally* consistent: the sharded
-    image equals the single-chip image bit-for-bit.
+    The sample stream covers pixels [pix_lo, pix_lo + n_pix_local) × samples
+    [spp_lo, spp_lo + spp_count); with pix_lo=0, n_pix_local=n_pixels,
+    spp_lo=0, spp_count=cfg.spp this is the whole image.  Tile sharding
+    (tpu_pt/dist) gives each chip its own contiguous pixel range, and
+    progressive/checkpointed rendering (render/progressive.py) its spp
+    chunk; ray_ids — and therefore random numbers — are *globally*
+    consistent either way: sharded/chunked renders sum to the one-shot image
+    bit-for-bit.
     """
-    total = jnp.int32(n_pix_local * cfg.spp)
+    total = jnp.int32(n_pix_local * spp_count)
     dead = ~st.alive[:, 0]
     rank = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
     cand = st.next_sample + rank
@@ -77,10 +81,10 @@ def _respawn(cam, cfg: RenderConfig, key, st: QueueState, pix_lo, n_pix_local) -
     n_spawned = jnp.sum(spawn.astype(jnp.int32))
 
     # Global sample id keyed off the global pixel index (RNG consistency).
-    pixel_local = cand // cfg.spp
+    pixel_local = cand // spp_count
     pixel = (pix_lo + jnp.where(spawn, pixel_local, 0)).astype(jnp.int32)
     new_id = jnp.where(
-        spawn, pixel * cfg.spp + cand % cfg.spp, st.ray_id
+        spawn, pixel * cfg.spp + spp_lo + cand % spp_count, st.ray_id
     )
     jitter = draws_lane(key, new_id, jnp.zeros_like(new_id) + DRAW_JITTER, 2)
     xy = pixel_xy(cfg.width, cfg.height, pixel, jax.lax.stop_gradient(jitter))
@@ -100,9 +104,9 @@ def _respawn(cam, cfg: RenderConfig, key, st: QueueState, pix_lo, n_pix_local) -
 
 
 def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
-          st: QueueState, pix_lo, n_pix_local) -> QueueState:
+          st: QueueState, pix_lo, n_pix_local, spp_lo, spp_count) -> QueueState:
     """One wavefront iteration: respawn → intersect → shade/NEE → scatter."""
-    st = _respawn(cam, cfg, key, st, pix_lo, n_pix_local)
+    st = _respawn(cam, cfg, key, st, pix_lo, n_pix_local, spp_lo, spp_count)
     Q = st.ro.shape[0]
     base = 1 + st.depth * _STRIDE  # (Q,) per-lane draw base
 
@@ -174,24 +178,29 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     )
 
 
-def n_steps(cfg: RenderConfig, queue: int, n_pix: int = 0) -> int:
+def n_steps(cfg: RenderConfig, queue: int, n_pix: int = 0,
+            spp_count: int = 0) -> int:
     """Static upper bound on wavefront iterations: every step consumes Q
     path segments while the budget lasts, plus a drain tail of max path
     length."""
     n_pix = n_pix or cfg.n_pixels
+    spp_count = spp_count or cfg.spp
     depth = 1 if cfg.direct_only else cfg.max_depth + 1
-    total_segments = n_pix * cfg.spp * depth
+    total_segments = n_pix * spp_count * depth
     return -(-total_segments // queue) + depth
 
 
 def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
-                    queue: int, backend: str, pix_lo, n_pix_local: int):
-    """Render pixels [pix_lo, pix_lo+n_pix_local) -> (n_pix_local, 3) sums
-    (divide by spp for radiance).  pix_lo may be traced (per-shard)."""
+                    queue: int, backend: str, pix_lo, n_pix_local: int,
+                    spp_lo=0, spp_count: int = 0):
+    """Render pixels [pix_lo, pix_lo+n_pix_local) × samples
+    [spp_lo, spp_lo+spp_count) -> (n_pix_local, 3) radiance sums (divide by
+    cfg.spp for the full-spp mean).  pix_lo/spp_lo may be traced."""
     from tpu_pt.render.driver import _intersectors
 
+    spp_count = spp_count or cfg.spp
     intersect_fn, occluded_fn = _intersectors(backend, bvh)
-    Q = min(queue, n_pix_local * cfg.spp)
+    Q = min(queue, n_pix_local * spp_count)
     st = QueueState(
         ro=jnp.zeros((Q, 3), jnp.float32),
         rd=jnp.concatenate([jnp.zeros((Q, 2)), jnp.ones((Q, 1))], -1),
@@ -203,13 +212,14 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
         next_sample=jnp.int32(0),
         accum=jnp.zeros((n_pix_local, 3), jnp.float32),
     )
-    steps = n_steps(cfg, Q, n_pix_local)
+    steps = n_steps(cfg, Q, n_pix_local, spp_count)
     pix_lo = jnp.int32(pix_lo)
+    spp_lo = jnp.int32(spp_lo)
 
     def body(st, _):
         return (
             _step(scene, cam, cfg, key, intersect_fn, occluded_fn, st,
-                  pix_lo, n_pix_local),
+                  pix_lo, n_pix_local, spp_lo, spp_count),
             None,
         )
 
