@@ -56,7 +56,7 @@ def main() -> None:
         from tpu_pt.bvh.lbvh import build_lbvh
 
         packed = build_lbvh(scene)
-        jax.block_until_ready(packed.nodes)
+        jax.block_until_ready(packed.table)
     else:
         from tpu_pt.bvh.native import build_packed_any
 

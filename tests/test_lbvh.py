@@ -50,7 +50,7 @@ def test_structure_invariants(scenes, name):
     lb = build_lbvh(scene)
     p = scene.n_prims
     assert lb.n_nodes == 2 * p - 1
-    nodes = np.asarray(lb.nodes)  # single table, pre-flattened (N, 8)
+    nodes = lb.node_rows()[0]  # single table (N, 8)
     meta = nodes[:, 7].view(np.int32)
     skip = nodes[:, 6].view(np.int32)
     leaf = meta >= 0

@@ -62,7 +62,7 @@ def test_octant_tables_reference_same_tree(setups):
     """All 8 octant tables must describe the same tree: same multiset of
     leaf (start,count) pairs and same root box."""
     _, packed = setups["cornell"]
-    nodes = np.asarray(packed.nodes).reshape(packed.n_tables, packed.n_nodes, 8)
+    nodes = packed.node_rows()
     metas = nodes[..., 7].view(np.int32)
     for o in range(1, 8):
         np.testing.assert_allclose(nodes[o, 0, 0:6], nodes[0, 0, 0:6])

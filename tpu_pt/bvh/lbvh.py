@@ -266,5 +266,6 @@ def build_lbvh(scene: Scene) -> PackedBVH:
     from tpu_pt.bvh.native import _prim_rows
 
     pid = np.asarray(perm)
-    return PackedBVH(nodes=table, prims=jnp.asarray(_prim_rows(scene, pid)),
-                     prim_gid=jnp.asarray(pid), max_leaf=1)
+    return PackedBVH.build(nodes=np.asarray(table),
+                           prims=_prim_rows(scene, pid),
+                           prim_gid=pid, max_leaf=1)

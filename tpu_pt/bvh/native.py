@@ -90,8 +90,8 @@ def build_packed(scene: Scene, max_leaf: int = 4) -> Optional[PackedBVH]:
         nodes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
-    return PackedBVH(nodes=nodes, prims=_prim_rows(scene, perm),
-                     prim_gid=perm, max_leaf=max_leaf)
+    return PackedBVH.build(nodes=nodes, prims=_prim_rows(scene, perm),
+                           prim_gid=perm, max_leaf=max_leaf)
 
 
 def build_packed_any(scene: Scene, max_leaf: int = 4) -> PackedBVH:

@@ -44,38 +44,64 @@ class PackedBVH:
     never baked in as huge constants — a 60× gather slowdown, measured) while
     the leaf-unroll count stays a Python int."""
 
-    def __init__(self, nodes, prims, prim_gid, max_leaf: int = 4,
-                 n_tables: int = None):
-        # nodes: (K*N, 8) f32, K = n_tables (8 octant-ordered tables from the
-        #   SAH path, 1 from LBVH), PRE-flattened — reshaping a (K,N,8) arg
-        #   inside jit was measured to cost ~2 ms per while-loop iteration
-        #   (XLA sinks the relayout into the loop).  Row layout:
-        #   [min.xyz, max.xyz, skip(i32 bitcast), meta(i32 bitcast)]
-        #   meta: -1 for inner; else prim_slot_start | (count << 26)
-        # prims: (P, 16) f32 rows:
-        #   tri:    [v0, e1, e2, matf, 0(type), pad]
-        #   sphere: [center, r, 0,0, 0,0,0, matf, 1(type), pad]
-        # prim_gid: (P,) i32 global primitive id per packed row
-        if nodes.ndim == 3:  # accept (K, N, 8) and flatten at build time
-            n_tables = nodes.shape[0]
-            nodes = nodes.reshape(-1, 8)
-        assert n_tables is not None
-        self.nodes = nodes
-        self.prims = prims
+    def __init__(self, table, prim_gid, max_leaf: int, n_tables: int,
+                 n_nodes: int):
+        # table: (K*N + P, 16) f32 — ONE unified array holding the K
+        #   octant-ordered node tables (rows [0, K*N), 16-wide with cols
+        #   8..15 zero) followed by the P primitive rows (rows [K*N, K*N+P)).
+        #   Node row:  [min.xyz, max.xyz, skip(i32 bits), meta(i32 bits), 0*8]
+        #     meta: -1 for inner; else prim_slot_start | (count << 26)
+        #   Prim row:  tri    [v0, e1, e2, matf, 0(type), pad]
+        #              sphere [center, r, 0,0, 0,0,0, matf, 1(type), pad]
+        # WHY unified: XLA's TPU backend stages mid-sized (<~32 MB) gather
+        # operands into VMEM with a copy it fails to hoist OUT of the
+        # enclosing while loop — 21 MB × ~300 traversal iterations = seconds
+        # per batch (measured; see git history).  One big array exceeds the
+        # staging threshold, keeping every gather on the fast HBM path.
+        # prim_gid: (P,) i32 global primitive id per packed row.
+        self.table = table
         self.prim_gid = prim_gid
         self.max_leaf = max_leaf
         self.n_tables = n_tables
+        self._n_nodes = n_nodes
+
+    @staticmethod
+    def build(nodes, prims, prim_gid, max_leaf: int = 4):
+        """Assemble from host numpy parts: nodes (K, N, 8), prims (P, 16)."""
+        k, n, _ = nodes.shape
+        p = prims.shape[0]
+        table = np.zeros((k * n + p, 16), np.float32)
+        table[: k * n, :8] = nodes.reshape(k * n, 8)
+        table[k * n:] = prims
+        return PackedBVH(table=table, prim_gid=prim_gid, max_leaf=max_leaf,
+                         n_tables=k, n_nodes=n)
 
     def tree_flatten(self):
-        return (self.nodes, self.prims, self.prim_gid), (self.max_leaf, self.n_tables)
+        return (self.table, self.prim_gid), (
+            self.max_leaf, self.n_tables, self._n_nodes)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, max_leaf=aux[0], n_tables=aux[1])
+        return cls(*children, max_leaf=aux[0], n_tables=aux[1],
+                   n_nodes=aux[2])
 
     @property
     def n_nodes(self) -> int:
-        return self.nodes.shape[0] // self.n_tables
+        return self._n_nodes
+
+    @property
+    def prim_base(self) -> int:
+        return self.n_tables * self._n_nodes
+
+    @property
+    def n_prims(self) -> int:
+        return self.prim_gid.shape[0]
+
+    def node_rows(self):
+        """(K, N, 8) numpy view of the node tables (tests/introspection)."""
+        return np.asarray(self.table[: self.prim_base, :8]).reshape(
+            self.n_tables, self._n_nodes, 8
+        )
 
 
 def _subtree_sizes(skip, prim_count):
@@ -170,12 +196,8 @@ def pack_bvh(bvh: FlatBVH, scene: Scene, max_leaf: int = 4) -> PackedBVH:
     rows[~is_tri, 3] = sr[sg]
     rows[~is_tri, 9] = sm[sg].astype(np.int32).view(np.float32)
     rows[~is_tri, 10] = 1.0
-    return PackedBVH(
-        nodes=tables,
-        prims=rows,
-        prim_gid=pid,
-        max_leaf=max_leaf,
-    )
+    return PackedBVH.build(nodes=tables, prims=rows, prim_gid=pid,
+                           max_leaf=max_leaf)
 
 
 def _prim_row_test(row, active, ro, rd, t_min, t_max):
@@ -233,9 +255,11 @@ def _traverse(packed: PackedBVH, ro, rd, t_min, t_max, any_hit: bool):
     R = ro.shape[0]
     n = packed.n_nodes
     rd_inv = 1.0 / rd
-    # nodes is pre-flattened (K*N, 8); offset cursors by octant*N so the
-    # per-step lookup is a single gather into one table.
-    nodes = packed.nodes
+    # One unified (K*N + P, 16) table: node rows first (cursor offset by
+    # octant*N), prim rows after prim_base.  Single gather per step either
+    # way, and the array is too large for XLA's in-loop VMEM staging copy.
+    table = packed.table
+    prim_base = packed.prim_base
     base = (_octant_of(rd) % packed.n_tables) * n
 
     max_leaf = packed.max_leaf
@@ -246,7 +270,7 @@ def _traverse(packed: PackedBVH, ro, rd, t_min, t_max, any_hit: bool):
     def body(state):
         cursor, best_t, best_slot, best_u, best_v, occ = state
         active = (cursor < n) & ~occ[:, 0]
-        node = nodes[base + jnp.where(active, cursor, 0)]
+        node = table[base + jnp.where(active, cursor, 0)]
         bb_min = node[:, 0:3]
         bb_max = node[:, 3:6]
         skip = jax.lax.bitcast_convert_type(node[:, 6], jnp.int32)
@@ -267,8 +291,8 @@ def _traverse(packed: PackedBVH, ro, rd, t_min, t_max, any_hit: bool):
         test_leaf = hit_bb[:, 0] & is_leaf
         for k in range(max_leaf):
             in_rng = test_leaf & (k < cnt)
-            slot = jnp.clip(start + k, 0, packed.prims.shape[0] - 1)
-            row = packed.prims[slot]
+            slot = jnp.clip(start + k, 0, packed.n_prims - 1)
+            row = table[prim_base + slot]
             h, t, u, v = _prim_row_test(
                 row, in_rng[:, None], ro, rd, t_min, best_t
             )

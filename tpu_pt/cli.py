@@ -112,6 +112,37 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_visualize_bvh(args) -> int:
+    """Render a BVH traversal-cost heatmap — headless replacement for the
+    reference viewer's interactive 'V' BVH-visualize mode (SURVEY.md §3.4)."""
+    import numpy as np
+
+    from tpu_pt.bvh.native import build_packed_any
+    from tpu_pt.render import debug, film
+
+    scene, camera_fn = _load_scene(args.scene)
+    packed = _load_scene_bvh(scene)
+    cam = camera_fn(args.resolution[0], args.resolution[1])
+    stats = debug.bvh_heatmap(packed, cam, args.resolution[0], args.resolution[1])
+    print(json.dumps(dict(
+        scene=args.scene,
+        mean_visits=round(stats["mean_visits"], 2),
+        max_visits=stats["max_visits"],
+        mean_leaf_tests=round(stats["mean_leaf_tests"], 2),
+    )))
+    film.save(args.outfile, debug.heatmap_image(stats["visits"]), gamma=1.0)
+    print(f"wrote {args.outfile}", file=sys.stderr)
+    return 0
+
+
+def _load_scene_bvh(scene):
+    import jax
+
+    from tpu_pt.bvh.native import build_packed_any
+
+    return jax.device_put(build_packed_any(scene))
+
+
 def cmd_dump_bvh(args) -> int:
     """BVH introspection dump — the headless replacement for the reference's
     interactive 'V' BVH-visualize mode (SURVEY.md §3.4, §5 tracing)."""
@@ -157,6 +188,13 @@ def main(argv=None) -> int:
     pb = sub.add_parser("dump-bvh", help="print BVH structure stats")
     pb.add_argument("scene")
     pb.set_defaults(fn=cmd_dump_bvh)
+
+    pv = sub.add_parser("visualize-bvh",
+                        help="render BVH traversal-cost heatmap PNG")
+    pv.add_argument("scene")
+    pv.add_argument("-r", "--resolution", type=int, nargs=2, default=[256, 256])
+    pv.add_argument("-f", "--outfile", default="bvh_heatmap.png")
+    pv.set_defaults(fn=cmd_visualize_bvh)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from tpu_pt.core.vecmath import dot, normalize
 from tpu_pt.scene.types import (
     LIGHT_AREA, LIGHT_POINT, LIGHT_DIRECTIONAL, LIGHT_HEMISPHERE, LIGHT_TRI,
+    LIGHT_ENV,
 )
 
 
@@ -27,9 +28,11 @@ class LightSample(NamedTuple):
     delta: jnp.ndarray     # (R, 1) bool — delta light (point/directional)
 
 
-def sample_light(lights, li: int, p, u):
+def sample_light(lights, li: int, p, u, env_map=None):
     """Sample light row ``li`` from shading points p (R,3) with uniforms
-    u (R,2).  Static per-light unroll keeps the select tree tiny."""
+    u (R,2).  Static per-light unroll keeps the select tree tiny.
+    LIGHT_ENV rows sample the uniform sphere and evaluate ``env_map`` along
+    the sampled direction (reference: EnvironmentLight::sample_L)."""
     kind = lights.kind[li]
     pos = lights.position[li]
     ex = lights.edge_x[li]
@@ -66,13 +69,24 @@ def sample_light(lights, li: int, p, u):
     wi_d = jnp.broadcast_to(normalize(-nrm), p.shape)
     rad_d = jnp.broadcast_to(rad, p.shape)
 
-    # ---- Infinite hemisphere light: uniform over the world up hemisphere. ----
-    from tpu_pt.core.sampling import uniform_hemisphere
+    # ---- Infinite hemisphere light: uniform over the world up hemisphere.
+    # LIGHT_ENV: uniform over the full sphere, radiance from the map. ----
+    from tpu_pt.core.sampling import uniform_hemisphere, uniform_sphere
 
-    dh, pdf_h = uniform_hemisphere(u)
+    is_env = kind == LIGHT_ENV
+    dh, pdf_hemi = uniform_hemisphere(u)
+    ds, pdf_sph = uniform_sphere(u)
+    d_inf = jnp.where(is_env, ds, dh)
+    pdf_h = jnp.where(is_env, pdf_sph, pdf_hemi)
     # local z -> world +y (the reference's hemisphere light is about world up)
-    wi_h = jnp.stack([dh[..., 0], dh[..., 2], dh[..., 1]], axis=-1)
-    rad_h = jnp.broadcast_to(rad, p.shape)
+    wi_h = jnp.stack([d_inf[..., 0], d_inf[..., 2], d_inf[..., 1]], axis=-1)
+    if env_map is not None:
+        from tpu_pt.render.envmap import eval_env
+
+        rad_h = jnp.where(is_env, eval_env(env_map, wi_h),
+                          jnp.broadcast_to(rad, p.shape))
+    else:
+        rad_h = jnp.broadcast_to(rad, p.shape)
 
     inf = jnp.full_like(dist_a, 1e30)
     one = jnp.ones_like(dist_a)

@@ -36,6 +36,7 @@ LIGHT_POINT = 1
 LIGHT_DIRECTIONAL = 2
 LIGHT_HEMISPHERE = 3
 LIGHT_TRI = 4
+LIGHT_ENV = 5  # environment map (uniform-sphere NEE; radiance from Scene.env_map)
 
 
 class Materials(NamedTuple):
@@ -69,6 +70,7 @@ class Scene(NamedTuple):
     sph_mat: jnp.ndarray      # (S,) int32
     materials: Materials
     lights: Lights
+    env_map: jnp.ndarray      # (He, We, 3) f32 lat-long radiance; (1,1,3) zeros = none
 
     @property
     def n_tris(self) -> int:
@@ -129,7 +131,8 @@ def make_lights(rows) -> Lights:
 
 def make_scene(vertices, tri_idx, tri_mat, materials: Materials,
                lights: Lights, normals: Optional[np.ndarray] = None,
-               sph_center=None, sph_radius=None, sph_mat=None) -> Scene:
+               sph_center=None, sph_radius=None, sph_mat=None,
+               env_map=None) -> Scene:
     """Assemble a Scene; computes area-weighted vertex normals if absent and
     pads empty primitive classes with one never-hit degenerate (static shapes
     must be >= 1 for jit)."""
@@ -159,6 +162,8 @@ def make_scene(vertices, tri_idx, tri_mat, materials: Materials,
         sph_mat=np.asarray(sph_mat, np.int32).reshape(-1),
         materials=materials,
         lights=lights,
+        env_map=(np.zeros((1, 1, 3), np.float32) if env_map is None
+                 else np.asarray(env_map, np.float32)),
     )
 
 
