@@ -43,7 +43,7 @@ def main() -> None:
     scene_name = os.environ.get("BENCH_SCENE", "big")
     size = int(os.environ.get("BENCH_SIZE", "512"))
     spp = int(os.environ.get("BENCH_SPP", "4"))
-    queue = int(os.environ.get("BENCH_QUEUE", str(1 << 17)))
+    queue = int(os.environ.get("BENCH_QUEUE", str(1 << 14)))
 
     subdiv = {"big": 7, "big-1m": 8}[scene_name]
     scene = meshes.big_scene(subdiv=subdiv)  # host (numpy) pytree

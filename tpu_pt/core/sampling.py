@@ -20,15 +20,47 @@ import jax
 import jax.numpy as jnp
 
 
+def _mix(x):
+    """murmur3 finalizer — full-avalanche 32-bit mixer (vector uint32)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _key_words(key):
+    """PRNG key -> two uint32 words (stable per key)."""
+    kd = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    return kd[0], kd[-1]
+
+
+def _hash_uniforms(key, ray_ids, draw_ids, n: int):
+    """Stateless counter RNG: uniforms[r, i] = f(key, ray_ids[r], draw_ids[r], i).
+
+    Pure vector integer ops (three murmur3 finalizer rounds) — no per-lane
+    vmapped threefry, which dominated wavefront shading cost.  Quality is
+    ample for Monte-Carlo rendering (full avalanche per round)."""
+    k0, k1 = _key_words(key)
+    r = ray_ids.astype(jnp.uint32)[:, None]
+    d = draw_ids.astype(jnp.uint32)[:, None]
+    i = jnp.arange(n, dtype=jnp.uint32)[None, :]
+    h = _mix(d ^ k1 ^ (i * jnp.uint32(0x9E3779B9)))
+    h = _mix(r ^ h ^ k0)
+    h = _mix(h + i)
+    # 24 high-entropy bits -> [0, 1) float32.
+    return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
 def draws(key, ray_ids, draw_id: int, n: int):
     """n uniforms in [0,1) per ray: shape (R, n).
 
     key: jax PRNG key.  ray_ids: (R,) int32 logical sample ids.
-    draw_id: static int identifying the call site.
+    draw_id: static int identifying the call site.  Counter-based and
+    order-invariant: the value depends only on (key, ray_id, draw_id, i).
     """
-    k = jax.random.fold_in(key, draw_id)
-    ks = jax.vmap(lambda i: jax.random.fold_in(k, i))(ray_ids)
-    return jax.vmap(lambda kk: jax.random.uniform(kk, (n,), dtype=jnp.float32))(ks)
+    return _hash_uniforms(key, ray_ids, jnp.full_like(ray_ids, draw_id), n)
 
 
 def draws_lane(key, ray_ids, draw_ids, n: int):
@@ -39,11 +71,7 @@ def draws_lane(key, ray_ids, draw_ids, n: int):
     bit-identical values to ``draws(key, ids, 1 + d*64 + off, n)`` for a lane
     at depth d — which is what keeps wavefront output equal to the oracle's.
     """
-    def one(i, d):
-        kk = jax.random.fold_in(jax.random.fold_in(key, d), i)
-        return jax.random.uniform(kk, (n,), dtype=jnp.float32)
-
-    return jax.vmap(one)(ray_ids, draw_ids)
+    return _hash_uniforms(key, ray_ids, draw_ids, n)
 
 
 def cosine_hemisphere(u):

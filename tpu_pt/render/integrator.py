@@ -122,6 +122,14 @@ def radiance(
     for depth in range(n_hits):
         base = 1 + depth * _STRIDE
         hit = intersect_fn(scene, ro, rd, t_min, t_max)
+        # Miss → environment radiance (reference: EnvironmentLight on escaped
+        # rays); Scene.env_map is (1,1,3) zeros when no environment is set.
+        from tpu_pt.render.envmap import eval_env
+
+        L = L + jnp.where(
+            alive & ~hit.hit & include_le,
+            beta * eval_env(scene.env_map, rd), 0.0,
+        )
         alive = alive & hit.hit
         si = shade_info(scene, ro, rd, hit)
         wo_world = -rd
@@ -140,7 +148,8 @@ def radiance(
         for li in range(n_lights):
             for s in range(ns_samples):
                 u = draws(key, ray_ids, base + _LIGHT0 + li * ns_samples + s, 2)
-                ls = lights_mod.sample_light(scene.lights, li, si.p, u)
+                ls = lights_mod.sample_light(scene.lights, li, si.p, u,
+                                             env_map=scene.env_map)
                 wi_l = to_local(ls.wi, tb, bb, si.ns)
                 f = bsdf_mod.eval_f(si.mat, wo, wi_l)
                 cos_s = jnp.maximum(wi_l[..., 2:3], 0.0)

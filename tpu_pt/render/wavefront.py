@@ -113,7 +113,6 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     t_min = jnp.zeros((Q, 1), jnp.float32)
     t_max = jnp.full((Q, 1), 1e30, jnp.float32)
     hit = intersect_fn(scene, st.ro, st.rd, t_min, t_max)
-    alive = st.alive & hit.hit
     si = shade_info(scene, st.ro, st.rd, hit)
     wo_world = -st.rd
     tb, bb = make_coord_space(si.ns)
@@ -121,6 +120,14 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     pixel = jnp.maximum(st.ray_id, 0) // cfg.spp - pix_lo  # local accum index
 
     contrib = jnp.zeros((Q, 3), jnp.float32)
+    # Miss → environment radiance (same semantics as the oracle integrator).
+    from tpu_pt.render.envmap import eval_env
+
+    contrib = contrib + jnp.where(
+        st.alive & ~hit.hit & st.include_le,
+        st.beta * eval_env(scene.env_map, st.rd), 0.0,
+    )
+    alive = st.alive & hit.hit
     # Emission at hit (one-sided).
     front = dot(wo_world, si.ns) > 0.0
     contrib = contrib + jnp.where(
@@ -133,7 +140,8 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     for li in range(scene.lights.count):
         for s in range(ns):
             u = draws_lane(key, st.ray_id, base + _LIGHT0 + li * ns + s, 2)
-            ls = lights_mod.sample_light(scene.lights, li, si.p, u)
+            ls = lights_mod.sample_light(scene.lights, li, si.p, u,
+                                         env_map=scene.env_map)
             wi_l = to_local(ls.wi, tb, bb, si.ns)
             f = bsdf_mod.eval_f(si.mat, wo, wi_l)
             cos_s = jnp.maximum(wi_l[..., 2:3], 0.0)
