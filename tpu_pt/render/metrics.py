@@ -51,12 +51,12 @@ def queue_occupancy(scene, cam, cfg: RenderConfig, key, bvh,
     from tpu_pt.render.driver import _intersectors
     from tpu_pt.render.wavefront import QueueState, _step, n_steps
 
-    intersect_fn, occluded_fn = _intersectors(backend, bvh)
     Q = min(queue, cfg.n_pixels * cfg.spp)
     steps = n_steps(cfg, Q)
 
     @jax.jit
     def run(scene, cam, key, bvh):
+        intersect_fn, occluded_fn = _intersectors(backend, bvh)
         st = QueueState(
             ro=jnp.zeros((Q, 3)), rd=jnp.concatenate(
                 [jnp.zeros((Q, 2)), jnp.ones((Q, 1))], -1),
