@@ -37,7 +37,7 @@ def main() -> None:
     import numpy as np
 
     from tpu_pt.config import RenderConfig
-    from tpu_pt.render.wavefront import n_steps, render_wavefront
+    from tpu_pt.render.wavefront import n_steps, render_wavefront_counts
     from tpu_pt.scene import meshes
 
     scene_name = os.environ.get("BENCH_SCENE", "big")
@@ -51,12 +51,18 @@ def main() -> None:
     cfg = RenderConfig(width=size, height=size, spp=spp, max_depth=4,
                        rr_start=2, rr_prob=0.7)
 
+    backend = os.environ.get("BENCH_BACKEND", "packed")
+
     t0 = time.time()
     if os.environ.get("BENCH_BVH", "sah") == "lbvh":
         from tpu_pt.bvh.lbvh import build_lbvh
 
         packed = build_lbvh(scene)
-        jax.block_until_ready(packed.table)
+        np.asarray(packed.table[0, 0])  # force completion (fetch-sync)
+    elif backend == "cluster":
+        from tpu_pt.bvh.cluster import build_cluster_bvh
+
+        packed = build_cluster_bvh(scene)
     else:
         from tpu_pt.bvh.native import build_packed_any
 
@@ -68,37 +74,33 @@ def main() -> None:
     packed_d = jax.device_put(packed)
     key = jax.random.key(0)
 
+    # NOTE: over the remote-device tunnel ``jax.block_until_ready`` returns
+    # without waiting (measured: 1e-4 s "runs" whose fetch then takes tens of
+    # seconds), so ALL timing here synchronizes by fetching a scalar of the
+    # result to the host.  Fetch cost of a single f32 is negligible vs the
+    # render.
+    def run(k):
+        img, nc, ns = render_wavefront_counts(
+            scene_d, cam, cfg, k, packed_d, queue=queue, backend=backend)
+        # Sync on scalar fetches only (image download stays off the clock).
+        return img, float(np.asarray(nc)), float(np.asarray(ns))
+
     # Warmup / compile.
     t0 = time.time()
-    img = jax.block_until_ready(
-        render_wavefront(scene_d, cam, cfg, key, packed_d, queue=queue,
-                         backend="packed")
-    )
+    img, n_closest, n_shadow = run(key)
     t_compile_run = time.time() - t0
 
     # Timed run.
     t0 = time.time()
-    img = jax.block_until_ready(
-        render_wavefront(scene_d, cam, cfg, jax.random.key(1), packed_d,
-                         queue=queue, backend="packed")
-    )
+    img, n_closest, n_shadow = run(jax.random.key(1))
     dt = time.time() - t0
 
-    # Path-segment accounting: the wavefront queue traces Q closest-hit rays
-    # + Q*ns_lights shadow rays per step for `steps` steps; idle tail lanes
-    # are a small overcount, so count conservatively from sample budget:
-    # primary+bounce segments actually spawned ≈ n_pix*spp*avg_depth.
-    # We report traced segments from the steady-state model: every sample
-    # traces 1 primary + E[bounces] closest-hit rays + as many shadow rays.
-    # Conservative lower bound: use the scan's real work = steps * Q * 2
-    # capped by the sample budget upper bound.
-    depth = cfg.max_depth + 1
-    budget_segments = cfg.n_pixels * cfg.spp * depth  # upper bound
-    steps = n_steps(cfg, min(queue, cfg.n_pixels * cfg.spp))
-    traced = min(steps * min(queue, cfg.n_pixels * cfg.spp), budget_segments)
-    shadow = traced  # 1 NEE shadow ray per segment (ns_area_light=1)
-    rays = traced + shadow
+    # Path-segment accounting: MEASURED on device — n_closest = live lanes
+    # entering each intersect, n_shadow = live non-delta hits × lights × ns
+    # (the useful NEE occlusion rays), summed over all wavefront steps.
+    rays = n_closest + n_shadow
     value = rays / dt
+    steps = n_steps(cfg, min(queue, cfg.n_pixels * cfg.spp))
 
     out = {
         "metric": "rays_per_s_per_chip",
@@ -112,6 +114,10 @@ def main() -> None:
             "spp": spp,
             "max_depth": cfg.max_depth,
             "queue": queue,
+            "backend": backend,
+            "steps": int(steps),
+            "n_closest": int(n_closest),
+            "n_shadow": int(n_shadow),
             "bvh_build_s": round(t_build, 2),
             "compile_plus_run_s": round(t_compile_run, 2),
             "run_s": round(dt, 3),

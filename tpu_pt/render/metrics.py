@@ -70,8 +70,9 @@ def queue_occupancy(scene, cam, cfg: RenderConfig, key, bvh,
         )
 
         def body(st, _):
-            st2 = _step(scene, cam, cfg, key, intersect_fn, occluded_fn, st,
-                        jnp.int32(0), cfg.n_pixels, jnp.int32(0), cfg.spp)
+            st2, _counts = _step(scene, cam, cfg, key, intersect_fn,
+                                 occluded_fn, st, jnp.int32(0), cfg.n_pixels,
+                                 jnp.int32(0), cfg.spp)
             return st2, jnp.sum(st2.alive)
 
         _, occ = jax.lax.scan(body, st, None, length=steps)

@@ -108,6 +108,7 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     """One wavefront iteration: respawn → intersect → shade/NEE → scatter."""
     st = _respawn(cam, cfg, key, st, pix_lo, n_pix_local, spp_lo, spp_count)
     Q = st.ro.shape[0]
+    n_closest = jnp.sum(st.alive[:, 0].astype(jnp.int32))  # rays traced now
     base = 1 + st.depth * _STRIDE  # (Q,) per-lane draw base
 
     t_min = jnp.zeros((Q, 1), jnp.float32)
@@ -136,6 +137,10 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
 
     # ---- Next-event estimation. ----
     delta_b = bsdf_mod.is_delta(si.mat)
+    # Useful shadow rays this step (non-delta live hits × lights × samples).
+    n_shadow = jnp.sum((alive & ~delta_b)[:, 0].astype(jnp.int32)) * (
+        scene.lights.count * cfg.ns_area_light
+    )
     ns = cfg.ns_area_light
     for li in range(scene.lights.count):
         for s in range(ns):
@@ -175,7 +180,7 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     cont = cont & ~rr_kill
 
     ro_next = si.p + si.ng * jnp.where(dot(wi_world, si.ng) > 0.0, cfg.eps, -cfg.eps)
-    return st._replace(
+    st = st._replace(
         ro=jnp.where(cont, ro_next, st.ro),
         rd=jnp.where(cont, wi_world, st.rd),
         beta=jnp.where(cont, beta, st.beta),
@@ -184,6 +189,7 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
         alive=cont,
         accum=accum,
     )
+    return st, (n_closest, n_shadow)
 
 
 def n_steps(cfg: RenderConfig, queue: int, n_pix: int = 0,
@@ -200,7 +206,7 @@ def n_steps(cfg: RenderConfig, queue: int, n_pix: int = 0,
 
 def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
                     queue: int, backend: str, pix_lo, n_pix_local: int,
-                    spp_lo=0, spp_count: int = 0):
+                    spp_lo=0, spp_count: int = 0, with_counts: bool = False):
     """Render pixels [pix_lo, pix_lo+n_pix_local) × samples
     [spp_lo, spp_lo+spp_count) -> (n_pix_local, 3) radiance sums (divide by
     cfg.spp for the full-spp mean).  pix_lo/spp_lo may be traced."""
@@ -225,13 +231,12 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
     spp_lo = jnp.int32(spp_lo)
 
     def body(st, _):
-        return (
-            _step(scene, cam, cfg, key, intersect_fn, occluded_fn, st,
-                  pix_lo, n_pix_local, spp_lo, spp_count),
-            None,
-        )
+        return _step(scene, cam, cfg, key, intersect_fn, occluded_fn, st,
+                     pix_lo, n_pix_local, spp_lo, spp_count)
 
-    st, _ = jax.lax.scan(body, st, None, length=steps)
+    st, counts = jax.lax.scan(body, st, None, length=steps)
+    if with_counts:
+        return st.accum, counts  # ((steps,) closest, (steps,) shadow)
     return st.accum
 
 
@@ -243,3 +248,19 @@ def render_wavefront(scene: Scene, cam, cfg: RenderConfig, key, bvh,
                             0, cfg.n_pixels)
     img = accum / cfg.spp
     return img.reshape(cfg.height, cfg.width, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "queue", "backend"))
+def render_wavefront_counts(scene: Scene, cam, cfg: RenderConfig, key, bvh,
+                            queue: int = 1 << 17, backend: str = "bvh"):
+    """Full-image render + honest ray accounting.
+
+    Returns (image, n_closest, n_shadow): the image plus the MEASURED number
+    of useful closest-hit path segments and NEE shadow rays traced (per-step
+    counts summed on device) — the accounting bench.py reports as rays/s.
+    """
+    accum, (nc, ns) = wavefront_accum(scene, cam, cfg, key, bvh, queue,
+                                      backend, 0, cfg.n_pixels,
+                                      with_counts=True)
+    img = (accum / cfg.spp).reshape(cfg.height, cfg.width, 3)
+    return img, jnp.sum(nc.astype(jnp.float32)), jnp.sum(ns.astype(jnp.float32))
