@@ -1,0 +1,110 @@
+"""Cluster-BVH (TPU-shaped two-phase intersector) equivalence tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pt.bvh import cluster as cl
+from tpu_pt.render import brute
+from tpu_pt.scene import cornell, meshes
+from tpu_pt.scene.types import make_lights, make_materials, make_scene
+
+
+@pytest.fixture(scope="module")
+def setups():
+    out = {}
+    s1 = cornell.cornell("spheres")
+    out["cornell"] = (s1, cl.build_cluster_bvh(s1))
+    v, f = meshes.icosphere(subdiv=3)
+    s2 = make_scene(v, f, np.zeros(len(f), np.int32),
+                    make_materials([dict(albedo=(0.5, 0.5, 0.5))]),
+                    make_lights([]))
+    # tile=32 forces a real multi-level pyramid on a small mesh.
+    out["mesh"] = (s2, cl.build_cluster_bvh(s2, tile=32))
+    s3 = meshes.big_scene(subdiv=4)  # ~5k tris
+    out["big"] = (s3, cl.build_cluster_bvh(s3, tile=64))
+    return out
+
+
+def _rays(n, seed):
+    k1, k2 = jax.random.split(jax.random.key(seed))
+    ro = jax.random.uniform(k1, (n, 3), minval=-3, maxval=3).astype(jnp.float32)
+    rd = jax.random.normal(k2, (n, 3))
+    return ro, (rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)).astype(jnp.float32)
+
+
+def test_build_invariants(setups):
+    scene, cb = setups["big"]
+    # Every primitive appears exactly once across tile_gid's real lanes.
+    gid = np.asarray(cb.tile_gid)
+    tiles = np.asarray(cb.tiles)
+    real = (np.abs(tiles).sum(axis=1) > 0).reshape(-1)  # non-zero lanes
+    ids = gid.reshape(-1)[real]
+    assert sorted(ids.tolist()) == list(range(scene.n_prims))
+    # Pyramid: parent AABBs contain children; sizes are exact 8x ladders.
+    for l in range(len(cb.levels) - 1):
+        parent = np.asarray(cb.levels[l])
+        child = np.asarray(cb.levels[l + 1])
+        assert child.shape[0] == 8 * parent.shape[0]
+        c_lo = child[:, 0:3].reshape(-1, 8, 3)
+        c_hi = child[:, 3:6].reshape(-1, 8, 3)
+        finite = (c_lo <= c_hi).all(-1)
+        for p in range(parent.shape[0]):
+            if finite[p].any():
+                assert (parent[p, 0:3] <= c_lo[p][finite[p]] + 1e-6).all()
+                assert (parent[p, 3:6] >= c_hi[p][finite[p]] - 1e-6).all()
+
+
+@pytest.mark.parametrize("name", ["cornell", "mesh", "big"])
+def test_intersect_matches_brute(setups, name):
+    scene, cb = setups[name]
+    ro, rd = _rays(1024, 7)
+    tmin = jnp.zeros((1024, 1))
+    tmax = jnp.full((1024, 1), 1e30)
+    h_ref = brute.intersect(scene, ro, rd, tmin, tmax)
+    h_cl = cl.intersect(cb, scene, ro, rd, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(h_ref.hit), np.asarray(h_cl.hit))
+    m = np.asarray(h_ref.hit)[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(h_ref.t)[m], np.asarray(h_cl.t)[m], rtol=1e-5, atol=1e-6
+    )
+    assert (np.asarray(h_ref.prim) == np.asarray(h_cl.prim))[m].mean() > 0.99
+
+
+@pytest.mark.parametrize("name", ["cornell", "mesh", "big"])
+def test_occluded_matches_brute(setups, name):
+    scene, cb = setups[name]
+    ro, rd = _rays(1024, 8)
+    tmax = jnp.full((1024, 1), 2.0)
+    o_ref = brute.occluded(scene, ro, rd, tmax)
+    o_cl = cl.occluded(cb, scene, ro, rd, tmax)
+    np.testing.assert_array_equal(np.asarray(o_ref), np.asarray(o_cl))
+
+
+@pytest.mark.parametrize("name", ["cornell", "mesh", "big"])
+def test_no_truncation_on_test_scenes(setups, name):
+    """The capacity contract: default frontiers/K lose nothing here."""
+    _, cb = setups[name]
+    ro, rd = _rays(2048, 9)
+    n_cand, overflow = cl.candidate_stats(
+        cb, ro, rd, jnp.zeros((2048,)), jnp.full((2048,), 1e30))
+    assert int(np.asarray(overflow).sum()) == 0
+    # Pair budget holds on average (the compaction cap is Q*pair_budget).
+    assert float(np.asarray(n_cand).mean()) <= cb.pair_budget
+
+
+def test_render_cluster_matches_oracle(setups):
+    from tpu_pt.config import RenderConfig
+    from tpu_pt.render.driver import render
+    from tpu_pt.render.wavefront import render_wavefront
+
+    scene, cb = setups["cornell"]
+    cam = cornell.camera(24, 24)
+    cfg = RenderConfig(width=24, height=24, spp=4, max_depth=3)
+    key = jax.random.key(3)
+    img_ref = render(scene, cam, cfg, key, backend="brute")
+    img_cl = np.asarray(
+        render_wavefront(scene, cam, cfg, key, cb, queue=512,
+                         backend="cluster"))
+    np.testing.assert_allclose(img_cl, img_ref, rtol=2e-4, atol=2e-5)

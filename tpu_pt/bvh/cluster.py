@@ -1,0 +1,408 @@
+"""Cluster BVH — the TPU-shaped acceleration structure.
+
+Why this exists (measured on TPU v5e, see git history): the classic per-ray
+stackless BVH walk (bvh/packed.py) is bound by per-lane row gathers from an
+HBM table (~97 us per 4096x64B gather) inside a lock-stepped ``while_loop``
+(~hundreds of max-over-lanes iterations), landing at ~10^4 rays/s.  TPUs are
+the inverse of GPUs here: random gathers are the weakness, dense (8,128)
+vector math and contiguous block DMA are the strengths.  So instead of
+porting the reference's per-thread traversal (SURVEY.md §3.2 "iterative BVH
+traversal ... one thread/pixel"), the scene is re-shaped for the VPU:
+
+  1. **Clusters**: SAH leaves of <=TILE (128) primitives, pretransformed to
+     a (C, 12, 128) tile tensor — prim lane = minor axis, so one cluster is
+     a 6 KB contiguous block and Möller–Trumbore over a whole tile is pure
+     (.., 128)-lane VPU math (measured 3.3G prim tests/s).
+  2. **Implicit 8-ary level pyramid** over cluster AABBs: level l+1 packs
+     the 8 children of node i at rows [8i, 8i+8), so the traversal needs NO
+     index tables at all — child fetch is a contiguous block gather.
+  3. **Level-synchronous frontier traversal**: every ray carries a fixed-F
+     frontier of live nodes per level; each descent step is one block
+     gather + a dense (Q, F, 8) slab test + one lane-axis sort (t-ascending
+     compaction).  No data-dependent while_loop, ~4 dense steps total.
+  4. **Pair compaction + dense intersection**: (ray, cluster) candidates are
+     compacted by one stable sort, tiles fetched with one big contiguous
+     block gather, intersected densely, and reduced per-ray with a
+     segmented-min ``associative_scan``.
+
+Capacity contract: frontier widths F and the leaf candidate count K are
+static compile-time knobs.  Truncation is *counted* (``candidate_stats``)
+and the shipped defaults are verified overflow-free on the test scenes; the
+roadmap item for exact resume-on-overflow is tracked in README.  This is the
+same engineering posture as GPU short-stack traversal with restart trails.
+
+Reference parity: replaces BVHAccel::intersect / the CUDA intersect_bvh
+(SURVEY.md §2 rows 9, 14) as the production intersector.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pt.bvh.sah import build_bvh
+from tpu_pt.core.intersect import INF
+from tpu_pt.render.brute import Hit
+from tpu_pt.scene.types import Scene
+
+TILE = 128  # primitives per cluster (= VPU lane width)
+
+
+@jax.tree_util.register_pytree_node_class
+class ClusterBVH:
+    """levels[l]: (N_l, 8) f32 rows [min.xyz, max.xyz, 0, 0], root-first;
+    each level is padded so that level[l+1] has exactly 8*N_l rows (empty
+    slots have min=+INF, max=-INF and fail every slab test).
+    tiles: (C, 12, 128) f32 — lane p of cluster c holds primitive p as
+      rows [v0.xyz, e1.xyz, e2.xyz, type, 0, 0] (tri: edges; sphere:
+      v0=center, e1.x=radius, type=1; padding lanes are all-zero => miss).
+    tile_gid: (C, 128) i32 global primitive id (pad lanes 0 — never hit).
+    frontiers / k_leaf: static per-level frontier capacities and the leaf
+    candidate budget (compile keys)."""
+
+    def __init__(self, levels, tiles, tile_gid, frontiers: tuple,
+                 k_leaf: int, pair_budget: int):
+        self.levels = tuple(levels)
+        self.tiles = tiles
+        self.tile_gid = tile_gid
+        self.frontiers = tuple(frontiers)
+        self.k_leaf = k_leaf
+        self.pair_budget = pair_budget
+
+    def tree_flatten(self):
+        return (self.levels, self.tiles, self.tile_gid), (
+            self.frontiers, self.k_leaf, self.pair_budget)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        levels, tiles, tile_gid = children
+        return cls(levels, tiles, tile_gid, frontiers=aux[0], k_leaf=aux[1],
+                   pair_budget=aux[2])
+
+    @property
+    def n_clusters(self) -> int:
+        return self.tiles.shape[0]
+
+
+def _prim_lane_rows(scene: Scene, pid: np.ndarray) -> np.ndarray:
+    """(len(pid), 12) packed rows for the tile tensor (before transpose)."""
+    v = np.asarray(scene.vertices)
+    ti = np.asarray(scene.tri_idx)
+    sc = np.asarray(scene.sph_center)
+    sr = np.asarray(scene.sph_radius)
+    n_tris = ti.shape[0]
+    rows = np.zeros((len(pid), 12), np.float32)
+    is_tri = pid < n_tris
+    tg = pid[is_tri]
+    v0 = v[ti[tg, 0]]
+    rows[is_tri, 0:3] = v0
+    rows[is_tri, 3:6] = v[ti[tg, 1]] - v0
+    rows[is_tri, 6:9] = v[ti[tg, 2]] - v0
+    sg = pid[~is_tri] - n_tris
+    rows[~is_tri, 0:3] = sc[sg]
+    rows[~is_tri, 3] = sr[sg]
+    rows[~is_tri, 9] = 1.0
+    return rows
+
+
+def default_frontiers(level_sizes: Sequence[int]):
+    """Per-level frontier capacities (top-first) + leaf candidate budget K.
+
+    A ray through an n^3-cell grid pierces ~3n cells; capacities are ~2x
+    that (plus slack for AABB overlap) and verified overflow-free by
+    ``candidate_stats`` on the test scenes."""
+    caps = []
+    for s in level_sizes:
+        n = max(1.0, float(s)) ** (1.0 / 3.0)
+        caps.append(int(min(s, max(16, int(6 * n) + 16))))
+    return tuple(caps), caps[-1]
+
+
+def build_cluster_bvh(scene: Scene, tile: int = TILE,
+                      frontiers: Sequence[int] | None = None,
+                      k_leaf: int | None = None,
+                      pair_budget: int | None = None) -> ClusterBVH:
+    """Host build: SAH leaves (<=tile prims) -> padded tile tensor +
+    implicit 8-ary AABB pyramid (all numpy; upload via device_put)."""
+    bvh = build_bvh(scene, max_leaf=tile)
+    count = np.asarray(bvh.prim_count)
+    leaf = np.flatnonzero(count > 0)
+    start = np.asarray(bvh.prim_start)[leaf]
+    cnt = count[leaf]
+    lo = np.asarray(bvh.node_min)[leaf]
+    hi = np.asarray(bvh.node_max)[leaf]
+    pid = np.asarray(bvh.prim_ids)
+    C = len(leaf)
+
+    # Tile tensor: (C, 12, tile) with zero padding (zero rows never hit:
+    # zero edges => det 0 for triangles, radius 0 for spheres).
+    rows_all = _prim_lane_rows(scene, pid)  # (P, 12) in leaf order
+    rows = np.zeros((C, tile, 12), np.float32)
+    gid = np.zeros((C, tile), np.int32)
+    for c in range(C):
+        s, n = start[c], cnt[c]
+        rows[c, :n] = rows_all[s:s + n]
+        gid[c, :n] = pid[s:s + n]
+    tiles = np.ascontiguousarray(rows.transpose(0, 2, 1))  # (C, 12, tile)
+
+    # Implicit 8-ary pyramid: sizes fixed top-down so level l+1 has exactly
+    # 8x the rows of level l (the ladder N0, 8*N0, 64*N0, ... >= C); slots
+    # beyond real nodes are empty AABBs (min=+INF > max=-INF, never hit).
+    n_levels = 1
+    top = C
+    while top > 64:
+        top = -(-top // 8)
+        n_levels += 1
+    sizes = [top * 8 ** l for l in range(n_levels)]  # top-first
+
+    bot = np.zeros((sizes[-1], 8), np.float32)
+    bot[:, 0:3] = np.inf
+    bot[:, 3:6] = -np.inf
+    bot[:C, 0:3] = lo
+    bot[:C, 3:6] = hi
+    levels = [bot]
+    for _ in range(n_levels - 1):
+        child = levels[0]
+        parent = np.zeros((child.shape[0] // 8, 8), np.float32)
+        parent[:, 0:3] = child[:, 0:3].reshape(-1, 8, 3).min(1)
+        parent[:, 3:6] = child[:, 3:6].reshape(-1, 8, 3).max(1)
+        levels.insert(0, parent)
+
+    if frontiers is None or k_leaf is None:
+        df, dk = default_frontiers([lv.shape[0] for lv in levels])
+        frontiers = tuple(frontiers) if frontiers is not None else df
+        k_leaf = int(k_leaf) if k_leaf is not None else dk
+    assert len(frontiers) == len(levels), (frontiers, sizes)
+    pair_budget = pair_budget or max(8, min(k_leaf, 16))
+    return ClusterBVH(levels, tiles, gid, tuple(frontiers), int(k_leaf),
+                      int(pair_budget))
+
+
+# ---------------------------------------------------------------------------
+# Traversal (device)
+# ---------------------------------------------------------------------------
+
+
+def _slab(b_lo, b_hi, ro, rd_inv, t_min, t_max):
+    """Entry t of ray vs AABB, INF on miss.  Shapes broadcast; returns
+    max(t_near, t_min) where the slab interval intersects [t_min, t_max].
+
+    Empty boxes (padding slots, min=+INF > max=-INF) must MISS: their slabs
+    degenerate to near=-inf/far=+inf which would hit everything, so validity
+    is tested explicitly."""
+    lo = (b_lo - ro) * rd_inv
+    hi = (b_hi - ro) * rd_inv
+    near = jnp.minimum(lo, hi)
+    far = jnp.maximum(lo, hi)
+    near = jnp.where(jnp.isnan(near), -jnp.inf, near)
+    far = jnp.where(jnp.isnan(far), jnp.inf, far)
+    t0 = jnp.maximum(jnp.max(near, axis=-1), t_min)
+    t1 = jnp.minimum(jnp.min(far, axis=-1), t_max)
+    box_valid = b_lo[..., 0] <= b_hi[..., 0]
+    return jnp.where(box_valid & (t0 <= t1), t0, INF)
+
+
+def _descend(cb: ClusterBVH, ro, rd_inv, t_min, t_max):
+    """Frontier descent.  Returns (cand_idx (Q, K) i32 t-ascending cluster
+    ids (slot invalid => t INF), cand_t (Q, K), overflow (Q,) i32 count of
+    finite candidates truncated at any level)."""
+    Q = ro.shape[0]
+    levels = cb.levels
+    caps = cb.frontiers
+    K = cb.k_leaf
+    ro_b = ro[:, None, :]
+    ri_b = rd_inv[:, None, :]
+
+    # Top level: dense test of all rows.
+    top = levels[0]
+    te = _slab(top[None, :, 0:3], top[None, :, 3:6], ro_b, ri_b,
+               t_min, t_max)  # (Q, N0)
+    idx = jnp.broadcast_to(
+        jnp.arange(top.shape[0], dtype=jnp.int32)[None, :], te.shape)
+    overflow = jnp.zeros((Q,), jnp.int32)
+    F = min(caps[0], top.shape[0])
+    if te.shape[1] > F:
+        te, idx = jax.lax.sort((te, idx), dimension=1, num_keys=1)
+        overflow += jnp.sum((te[:, F:] < INF), axis=1, dtype=jnp.int32)
+        te, idx = te[:, :F], idx[:, :F]
+
+    for l in range(1, len(levels)):
+        child = levels[l].reshape(-1, 8, 8)  # (N_{l-1}, 8, 8)
+        blk = child[jnp.maximum(idx, 0)]     # (Q, F, 8, 8) contiguous blocks
+        tc = _slab(blk[..., 0:3], blk[..., 3:6], ro_b[:, :, None, :],
+                   ri_b[:, :, None, :], t_min[..., None], t_max[..., None])
+        tc = jnp.where(te[..., None] < INF, tc, INF)  # dead parents
+        cidx = idx[..., None] * 8 + jnp.arange(8, dtype=jnp.int32)
+        te = tc.reshape(Q, -1)
+        idx = cidx.reshape(Q, -1)
+        cap = K if l == len(levels) - 1 else min(caps[l], levels[l].shape[0])
+        if te.shape[1] > cap:
+            te, idx = jax.lax.sort((te, idx), dimension=1, num_keys=1)
+            overflow += jnp.sum((te[:, cap:] < INF), axis=1, dtype=jnp.int32)
+            te, idx = te[:, :cap], idx[:, :cap]
+        else:
+            te, idx = jax.lax.sort((te, idx), dimension=1, num_keys=1)
+    return idx, te, overflow
+
+
+def _prim_tile_test(tile, ro, rd, t_min, t_max):
+    """Dense MT + sphere test of rays vs their tile.  tile: (P, 12, L);
+    ro/rd: (P, 3); t bounds (P, 1).  Returns (t (P, L), u, v) with INF on
+    miss — all lane-axis VPU math, no gathers."""
+    v0 = tile[:, 0:3, :]
+    e1 = tile[:, 3:6, :]
+    e2 = tile[:, 6:9, :]
+    typ = tile[:, 9, :]
+    ro_b = ro[:, :, None]
+    rd_b = rd[:, :, None]
+
+    def cross(a, b):
+        return jnp.stack([
+            a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
+            a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
+            a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0],
+        ], axis=1)
+
+    pvec = cross(jnp.broadcast_to(rd_b, e2.shape), e2)
+    det = jnp.sum(e1 * pvec, axis=1)
+    parallel = jnp.abs(det) < 1e-12
+    inv_det = jnp.where(parallel, 0.0, 1.0 / jnp.where(parallel, 1.0, det))
+    tvec = ro_b - v0
+    u = jnp.sum(tvec * pvec, axis=1) * inv_det
+    qvec = cross(tvec, e1)
+    vv = jnp.sum(rd_b * qvec, axis=1) * inv_det
+    t_tri = jnp.sum(e2 * qvec, axis=1) * inv_det
+    ok_tri = (~parallel) & (u >= 0) & (vv >= 0) & (u + vv <= 1) \
+        & (t_tri >= t_min) & (t_tri <= t_max)
+
+    # Sphere lanes (type==1): v0 = center, e1.x = radius.
+    oc = ro_b - v0
+    radius = e1[:, 0, :]
+    a = jnp.sum(rd_b * rd_b, axis=1)
+    b = 2.0 * jnp.sum(oc * rd_b, axis=1)
+    c = jnp.sum(oc * oc, axis=1) - radius * radius
+    disc = b * b - 4 * a * c
+    has = disc >= 0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv2a = 1.0 / jnp.maximum(2 * a, 1e-20)
+    s0 = (-b - sq) * inv2a
+    s1 = (-b + sq) * inv2a
+    ok0 = has & (s0 >= t_min) & (s0 <= t_max)
+    ok1 = has & (s1 >= t_min) & (s1 <= t_max)
+    t_sph = jnp.where(ok0, s0, s1)
+    ok_sph = ok0 | ok1
+
+    is_sph = typ > 0.5
+    ok = jnp.where(is_sph, ok_sph, ok_tri)
+    t = jnp.where(is_sph, t_sph, t_tri)
+    t = jnp.where(ok, t, INF)
+    return t, jnp.where(is_sph, 0.0, u), jnp.where(is_sph, 0.0, vv)
+
+
+def _seg_min(t, seg_start):
+    """Segmented running min along axis 0: resets where seg_start.  Returns
+    (min_t, argmin position) per element (inclusive)."""
+    n = t.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    def combine(a, b):
+        ta, ia, fa = a
+        tb, ib, fb = b
+        take_b = fb | (tb < ta)
+        return (jnp.where(take_b, tb, jnp.minimum(ta, tb)),
+                jnp.where(fb | (tb < ta), ib, ia),
+                fa | fb)
+
+    mt, mi, _ = jax.lax.associative_scan(combine, (t, pos, seg_start))
+    return mt, mi
+
+
+def _traverse(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max):
+    """Closest-hit over candidate clusters.  Returns (best_t (Q,1),
+    gid (Q,), u (Q,1), v (Q,1))."""
+    Q = ro.shape[0]
+    t_min1 = t_min[:, 0]
+    t_max1 = t_max[:, 0]
+    rd_inv = 1.0 / rd
+    cand, cand_t, _ = _descend(cb, ro, rd_inv, t_min1[:, None],
+                               t_max1[:, None])
+    K = cand.shape[1]
+
+    # ---- Pair compaction: valid (ray, cluster) pairs to the front in ray-
+    # major order.  Invalid pairs get ray id Q (sentinel), so ONE stable
+    # sort by ray id both compacts and keeps ray_c globally ascending
+    # (which the segmented reduction below relies on).
+    valid = (cand_t < INF)
+    ray_of = jnp.broadcast_to(
+        jnp.arange(Q, dtype=jnp.int32)[:, None], (Q, K))
+    ray_key = jnp.where(valid, ray_of, Q).reshape(-1)
+    flat_c = cand.reshape(-1)
+    P = min(Q * cb.pair_budget, Q * K)
+    ray_c, cid_c = jax.lax.sort(
+        (ray_key, flat_c), dimension=0, num_keys=1, is_stable=True)
+    ray_c = ray_c[:P]
+    cid_c = cid_c[:P]
+    pair_ok = ray_c < Q
+    ray_c = jnp.minimum(ray_c, Q - 1)
+
+    # ---- Dense tile intersection over compacted pairs.
+    cid_c = jnp.clip(cid_c, 0, cb.n_clusters - 1)
+    tile = cb.tiles[cid_c]                          # (P, 12, L) block gather
+    ro_p = ro[ray_c]
+    rd_p = rd[ray_c]
+    tmin_p = t_min1[ray_c][:, None]
+    tmax_p = t_max1[ray_c][:, None]
+    t_lane, u_lane, v_lane = _prim_tile_test(tile, ro_p, rd_p, tmin_p, tmax_p)
+    t_lane = jnp.where(pair_ok[:, None], t_lane, INF)
+    t_pair = jnp.min(t_lane, axis=1)
+    lane = jnp.argmin(t_lane, axis=1)
+    ar = jnp.arange(t_lane.shape[0])
+    u_pair = u_lane[ar, lane]
+    v_pair = v_lane[ar, lane]
+    gid_pair = cb.tile_gid[jnp.maximum(cid_c, 0), lane]
+
+    # ---- Per-ray reduction: segments are contiguous runs of ray_c.
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), ray_c[1:] != ray_c[:-1]])
+    mt, mi = _seg_min(t_pair, seg_start)
+    # Segment end position for each ray: searchsorted on the sorted ray ids.
+    end = jnp.searchsorted(ray_c, jnp.arange(Q, dtype=jnp.int32),
+                           side="right") - 1
+    has_pairs = end >= jnp.searchsorted(ray_c, jnp.arange(Q, dtype=jnp.int32),
+                                        side="left")
+    end = jnp.clip(end, 0, P - 1)
+    best_t = jnp.where(has_pairs, mt[end], INF)
+    best_i = mi[end]
+    return (best_t[:, None], gid_pair[best_i], u_pair[best_i][:, None],
+            v_pair[best_i][:, None])
+
+
+def intersect(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max) -> Hit:
+    cb = jax.tree.map(jnp.asarray, cb)
+    best_t, gid, u, v = _traverse(cb, scene, ro, rd, t_min,
+                                  jnp.broadcast_to(t_max, (ro.shape[0], 1)))
+    found = best_t < jnp.broadcast_to(t_max, best_t.shape)
+    return Hit(hit=found, t=jnp.where(found, best_t, INF), prim=gid,
+               u=u, v=v)
+
+
+def occluded(cb: ClusterBVH, scene: Scene, ro, rd, t_max):
+    cb = jax.tree.map(jnp.asarray, cb)
+    t_min = jnp.zeros((ro.shape[0], 1), jnp.float32)
+    t_max = jnp.broadcast_to(t_max, (ro.shape[0], 1))
+    best_t, _, _, _ = _traverse(cb, scene, ro, rd, t_min, t_max)
+    return best_t < t_max
+
+
+def candidate_stats(cb: ClusterBVH, ro, rd, t_min, t_max):
+    """Observability: (per-ray candidate count, per-ray truncation count).
+    Truncation > 0 means the static frontier/K knobs are too small for this
+    scene/ray set (SURVEY.md §5 metrics)."""
+    rd_inv = 1.0 / rd
+    cand, cand_t, overflow = _descend(
+        cb, ro, rd_inv, t_min[:, None] if t_min.ndim == 1 else t_min,
+        t_max[:, None] if t_max.ndim == 1 else t_max)
+    return jnp.sum(cand_t < INF, axis=1), overflow

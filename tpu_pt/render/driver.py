@@ -44,6 +44,15 @@ def _intersectors(backend: str, bvh=None):
             functools.partial(pallas_isect.intersect, bvh),
             functools.partial(pallas_isect.occluded, bvh),
         )
+    if backend == "cluster":
+        from tpu_pt.bvh import cluster as cluster_mod
+
+        if bvh is None:
+            raise ValueError("backend='cluster' requires a ClusterBVH")
+        return (
+            functools.partial(cluster_mod.intersect, bvh),
+            functools.partial(cluster_mod.occluded, bvh),
+        )
     if backend == "packed":
         from tpu_pt.bvh import packed as packed_mod
 
