@@ -117,7 +117,7 @@ def default_frontiers(level_sizes: Sequence[int]):
     caps = []
     for s in level_sizes:
         n = max(1.0, float(s)) ** (1.0 / 3.0)
-        caps.append(int(min(s, max(16, int(6 * n) + 16))))
+        caps.append(int(min(s, max(12, int(2.5 * n) + 8))))
     return tuple(caps), caps[-1]
 
 
@@ -176,7 +176,9 @@ def build_cluster_bvh(scene: Scene, tile: int = TILE,
         frontiers = tuple(frontiers) if frontiers is not None else df
         k_leaf = int(k_leaf) if k_leaf is not None else dk
     assert len(frontiers) == len(levels), (frontiers, sizes)
-    pair_budget = pair_budget or max(8, min(k_leaf, 16))
+    # Small by design: rounds 2+ of the best-t-feedback loop make any
+    # budget exact, so this only tunes round-1 hit rate vs wasted tests.
+    pair_budget = pair_budget or max(4, min(k_leaf, 6))
     return ClusterBVH(levels, tiles, gid, tuple(frontiers), int(k_leaf),
                       int(pair_budget))
 
@@ -320,9 +322,36 @@ def _seg_min(t, seg_start):
     return mt, mi
 
 
+def _test_pair_batch(cb: ClusterBVH, ro, rd, t_min1, t_max1, ray_c, cid_c,
+                     pair_ok):
+    """Dense tile intersection of a flat pair batch.  Returns per-pair
+    (t (P,), u, v, gid) with INF on miss."""
+    cid_c = jnp.clip(cid_c, 0, cb.n_clusters - 1)
+    tile = cb.tiles[cid_c]                          # (P, 12, L) block gather
+    t_lane, u_lane, v_lane = _prim_tile_test(
+        tile, ro[ray_c], rd[ray_c], t_min1[ray_c][:, None],
+        t_max1[ray_c][:, None])
+    t_lane = jnp.where(pair_ok[:, None], t_lane, INF)
+    t_pair = jnp.min(t_lane, axis=1)
+    lane = jnp.argmin(t_lane, axis=1)
+    ar = jnp.arange(t_lane.shape[0])
+    return (t_pair, u_lane[ar, lane], v_lane[ar, lane],
+            cb.tile_gid[cid_c, lane])
+
+
 def _traverse(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max):
-    """Closest-hit over candidate clusters.  Returns (best_t (Q,1),
-    gid (Q,), u (Q,1), v (Q,1))."""
+    """Closest-hit over candidate clusters — EXACT for any pair budget.
+
+    Candidates per ray are t_entry-ascending, so untested candidates always
+    lie BEHIND the current best hit.  Round 1 tests the first
+    ``pair_budget`` slots per ray (plain slice, no compaction); a while_loop
+    then repeatedly compacts and tests only the pairs whose cluster entry-t
+    still beats that ray's best hit (a contiguous slot range [cursor, end)
+    per ray, since cand_t is sorted).  Each iteration consumes >=1 pair, so
+    the loop terminates; in practice round 1 already resolves almost every
+    ray and the loop runs 0-2 times.  Returns (best_t (Q,1), gid (Q,),
+    u (Q,1), v (Q,1)).
+    """
     Q = ro.shape[0]
     t_min1 = t_min[:, 0]
     t_max1 = t_max[:, 0]
@@ -330,54 +359,73 @@ def _traverse(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max):
     cand, cand_t, _ = _descend(cb, ro, rd_inv, t_min1[:, None],
                                t_max1[:, None])
     K = cand.shape[1]
-
-    # ---- Pair compaction: valid (ray, cluster) pairs to the front in ray-
-    # major order.  Invalid pairs get ray id Q (sentinel), so ONE stable
-    # sort by ray id both compacts and keeps ray_c globally ascending
-    # (which the segmented reduction below relies on).
-    valid = (cand_t < INF)
     ray_of = jnp.broadcast_to(
         jnp.arange(Q, dtype=jnp.int32)[:, None], (Q, K))
-    ray_key = jnp.where(valid, ray_of, Q).reshape(-1)
-    flat_c = cand.reshape(-1)
-    P = min(Q * cb.pair_budget, Q * K)
-    ray_c, cid_c = jax.lax.sort(
-        (ray_key, flat_c), dimension=0, num_keys=1, is_stable=True)
-    ray_c = ray_c[:P]
-    cid_c = cid_c[:P]
-    pair_ok = ray_c < Q
-    ray_c = jnp.minimum(ray_c, Q - 1)
 
-    # ---- Dense tile intersection over compacted pairs.
-    cid_c = jnp.clip(cid_c, 0, cb.n_clusters - 1)
-    tile = cb.tiles[cid_c]                          # (P, 12, L) block gather
-    ro_p = ro[ray_c]
-    rd_p = rd[ray_c]
-    tmin_p = t_min1[ray_c][:, None]
-    tmax_p = t_max1[ray_c][:, None]
-    t_lane, u_lane, v_lane = _prim_tile_test(tile, ro_p, rd_p, tmin_p, tmax_p)
-    t_lane = jnp.where(pair_ok[:, None], t_lane, INF)
-    t_pair = jnp.min(t_lane, axis=1)
-    lane = jnp.argmin(t_lane, axis=1)
-    ar = jnp.arange(t_lane.shape[0])
-    u_pair = u_lane[ar, lane]
-    v_pair = v_lane[ar, lane]
-    gid_pair = cb.tile_gid[jnp.maximum(cid_c, 0), lane]
+    # ---- Round 1: nearest pair_budget candidates per ray, reduced with a
+    # plain (Q, pb) min — no compaction, no segmented scan.
+    pb = min(cb.pair_budget, K)
+    t_p, u_p, v_p, g_p = _test_pair_batch(
+        cb, ro, rd, t_min1, t_max1,
+        ray_of[:, :pb].reshape(-1), cand[:, :pb].reshape(-1),
+        (cand_t[:, :pb] < INF).reshape(-1))
+    t_p = t_p.reshape(Q, pb)
+    slot = jnp.argmin(t_p, axis=1)
+    arq = jnp.arange(Q)
+    best_t = t_p[arq, slot]
+    best_u = u_p.reshape(Q, pb)[arq, slot]
+    best_v = v_p.reshape(Q, pb)[arq, slot]
+    best_g = g_p.reshape(Q, pb)[arq, slot]
 
-    # ---- Per-ray reduction: segments are contiguous runs of ray_c.
-    seg_start = jnp.concatenate(
-        [jnp.ones((1,), bool), ray_c[1:] != ray_c[:-1]])
-    mt, mi = _seg_min(t_pair, seg_start)
-    # Segment end position for each ray: searchsorted on the sorted ray ids.
-    end = jnp.searchsorted(ray_c, jnp.arange(Q, dtype=jnp.int32),
-                           side="right") - 1
-    has_pairs = end >= jnp.searchsorted(ray_c, jnp.arange(Q, dtype=jnp.int32),
-                                        side="left")
-    end = jnp.clip(end, 0, P - 1)
-    best_t = jnp.where(has_pairs, mt[end], INF)
-    best_i = mi[end]
-    return (best_t[:, None], gid_pair[best_i], u_pair[best_i][:, None],
-            v_pair[best_i][:, None])
+    # ---- Rounds 2+: remaining slots [cursor, end) per ray where
+    # end = #candidates with t_entry < best_t (monotonically shrinking).
+    P2 = max(Q // 2, 1024)
+    slots = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (Q, K))
+
+    def remaining(cur, bt):
+        end = jnp.sum(cand_t < bt[:, None], axis=1, dtype=jnp.int32)
+        return jnp.maximum(end - cur, 0)
+
+    def cond(state):
+        cur, bt, *_ = state
+        return jnp.sum(remaining(cur, bt)) > 0
+
+    def body(state):
+        cur, bt, bu, bv, bg = state
+        end = jnp.sum(cand_t < bt[:, None], axis=1, dtype=jnp.int32)
+        live = (slots >= cur[:, None]) & (slots < end[:, None])
+        ray_key = jnp.where(live, ray_of, Q).reshape(-1)
+        ray_c, cid_c = jax.lax.sort(
+            (ray_key, cand.reshape(-1)), dimension=0, num_keys=1,
+            is_stable=True)
+        ray_c = ray_c[:P2]
+        cid_c = cid_c[:P2]
+        ok = ray_c < Q
+        ray_cc = jnp.minimum(ray_c, Q - 1)
+        t_p, u_p, v_p, g_p = _test_pair_batch(
+            cb, ro, rd, t_min1, t_max1, ray_cc, cid_c, ok)
+        # Per-ray min over this batch (segments contiguous in ray_c).
+        seg_start = jnp.concatenate(
+            [jnp.ones((1,), bool), ray_cc[1:] != ray_cc[:-1]])
+        mt, mi = _seg_min(t_p, seg_start)
+        left = jnp.searchsorted(ray_c, arq.astype(jnp.int32), side="left")
+        right = jnp.searchsorted(ray_c, arq.astype(jnp.int32), side="right")
+        has = right > left
+        endpos = jnp.clip(right - 1, 0, P2 - 1)
+        bt_new = jnp.where(has, mt[endpos], INF)
+        bi = mi[endpos]
+        better = has & (bt_new < bt)
+        bt = jnp.where(better, bt_new, bt)
+        bu = jnp.where(better, u_p[bi], bu)
+        bv = jnp.where(better, v_p[bi], bv)
+        bg = jnp.where(better, g_p[bi], bg)
+        # Advance cursors past every pair consumed this round.
+        cur = cur + (right - left).astype(jnp.int32)
+        return cur, bt, bu, bv, bg
+
+    state = (jnp.full((Q,), pb, jnp.int32), best_t, best_u, best_v, best_g)
+    _, best_t, best_u, best_v, best_g = jax.lax.while_loop(cond, body, state)
+    return best_t[:, None], best_g, best_u[:, None], best_v[:, None]
 
 
 def intersect(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max) -> Hit:

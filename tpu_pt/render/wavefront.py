@@ -206,7 +206,8 @@ def n_steps(cfg: RenderConfig, queue: int, n_pix: int = 0,
 
 def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
                     queue: int, backend: str, pix_lo, n_pix_local: int,
-                    spp_lo=0, spp_count: int = 0, with_counts: bool = False):
+                    spp_lo=0, spp_count: int = 0, with_counts: bool = False,
+                    fast: bool = False):
     """Render pixels [pix_lo, pix_lo+n_pix_local) × samples
     [spp_lo, spp_lo+spp_count) -> (n_pix_local, 3) radiance sums (divide by
     cfg.spp for the full-spp mean).  pix_lo/spp_lo may be traced."""
@@ -230,6 +231,32 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
     pix_lo = jnp.int32(pix_lo)
     spp_lo = jnp.int32(spp_lo)
 
+    if fast:
+        # Forward-only path: while_loop exits as soon as the sample budget
+        # is spent AND every lane is dead — the static `steps` bound pays
+        # for its worst case only when actually needed (at small queues the
+        # tail after budget exhaustion is most of the bound).  Not
+        # reverse-differentiable; the diff/dist paths use the scan below.
+        total = jnp.int32(n_pix_local * spp_count)
+
+        def cond(carry):
+            st, nc, ns, i = carry
+            return (i < steps) & (
+                jnp.any(st.alive) | (st.next_sample < total))
+
+        def wbody(carry):
+            st, nc, ns, i = carry
+            st, (c, s) = _step(scene, cam, cfg, key, intersect_fn,
+                               occluded_fn, st, pix_lo, n_pix_local, spp_lo,
+                               spp_count)
+            return st, nc + c, ns + s, i + 1
+
+        st, nc, ns, _ = jax.lax.while_loop(
+            cond, wbody, (st, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+        if with_counts:
+            return st.accum, (nc, ns)
+        return st.accum
+
     def body(st, _):
         return _step(scene, cam, cfg, key, intersect_fn, occluded_fn, st,
                      pix_lo, n_pix_local, spp_lo, spp_count)
@@ -245,7 +272,7 @@ def render_wavefront(scene: Scene, cam, cfg: RenderConfig, key, bvh,
                      queue: int = 1 << 17, backend: str = "bvh"):
     """Full-image render -> (H, W, 3) linear radiance."""
     accum = wavefront_accum(scene, cam, cfg, key, bvh, queue, backend,
-                            0, cfg.n_pixels)
+                            0, cfg.n_pixels, fast=True)
     img = accum / cfg.spp
     return img.reshape(cfg.height, cfg.width, 3)
 
@@ -261,6 +288,6 @@ def render_wavefront_counts(scene: Scene, cam, cfg: RenderConfig, key, bvh,
     """
     accum, (nc, ns) = wavefront_accum(scene, cam, cfg, key, bvh, queue,
                                       backend, 0, cfg.n_pixels,
-                                      with_counts=True)
+                                      with_counts=True, fast=True)
     img = (accum / cfg.spp).reshape(cfg.height, cfg.width, 3)
-    return img, jnp.sum(nc.astype(jnp.float32)), jnp.sum(ns.astype(jnp.float32))
+    return img, nc.astype(jnp.float32), ns.astype(jnp.float32)
