@@ -62,7 +62,9 @@ def main() -> None:
     elif backend == "cluster":
         from tpu_pt.bvh.cluster import build_cluster_bvh
 
-        packed = build_cluster_bvh(scene)
+        pb = os.environ.get("BENCH_PB")
+        packed = build_cluster_bvh(
+            scene, pair_budget=int(pb) if pb else None)
     else:
         from tpu_pt.bvh.native import build_packed_any
 

@@ -124,7 +124,8 @@ def default_frontiers(level_sizes: Sequence[int]):
 def build_cluster_bvh(scene: Scene, tile: int = TILE,
                       frontiers: Sequence[int] | None = None,
                       k_leaf: int | None = None,
-                      pair_budget: int | None = None) -> ClusterBVH:
+                      pair_budget: int | None = None,
+                      dense_start: int = 512) -> ClusterBVH:
     """Host build: SAH leaves (<=tile prims) -> padded tile tensor +
     implicit 8-ary AABB pyramid (all numpy; upload via device_put)."""
     bvh = build_bvh(scene, max_leaf=tile)
@@ -151,9 +152,12 @@ def build_cluster_bvh(scene: Scene, tile: int = TILE,
     # Implicit 8-ary pyramid: sizes fixed top-down so level l+1 has exactly
     # 8x the rows of level l (the ladder N0, 8*N0, 64*N0, ... >= C); slots
     # beyond real nodes are empty AABBs (min=+INF > max=-INF, never hit).
+    # The top level is tested DENSELY against every ray (a (Q, N0) slab test
+    # costs ~nothing on the VPU), so it can be hundreds of nodes wide —
+    # every level it replaces removes a block-gather + sort step.
     n_levels = 1
     top = C
-    while top > 64:
+    while top > dense_start:
         top = -(-top // 8)
         n_levels += 1
     sizes = [top * 8 ** l for l in range(n_levels)]  # top-first
@@ -178,7 +182,7 @@ def build_cluster_bvh(scene: Scene, tile: int = TILE,
     assert len(frontiers) == len(levels), (frontiers, sizes)
     # Small by design: rounds 2+ of the best-t-feedback loop make any
     # budget exact, so this only tunes round-1 hit rate vs wasted tests.
-    pair_budget = pair_budget or max(4, min(k_leaf, 6))
+    pair_budget = pair_budget or min(k_leaf, 4)
     return ClusterBVH(levels, tiles, gid, tuple(frontiers), int(k_leaf),
                       int(pair_budget))
 
