@@ -229,11 +229,19 @@ def _descend(cb: ClusterBVH, ro, rd_inv, t_min, t_max):
     idx = jnp.broadcast_to(
         jnp.arange(top.shape[0], dtype=jnp.int32)[None, :], te.shape)
     overflow = jnp.zeros((Q,), jnp.int32)
+
+    def sort_trunc(te, idx, cap):
+        # NOTE: a single-operand sort with (bf16(t) << 16 | idx) packed keys
+        # was tried and measured SLOWER than the two-operand sort on v5e.
+        te, idx = jax.lax.sort((te, idx), dimension=1, num_keys=1)
+        ovf = jnp.sum((te[:, cap:] < INF), axis=1, dtype=jnp.int32) \
+            if te.shape[1] > cap else jnp.int32(0)
+        return te[:, :cap], idx[:, :cap], ovf
+
     F = min(caps[0], top.shape[0])
     if te.shape[1] > F:
-        te, idx = jax.lax.sort((te, idx), dimension=1, num_keys=1)
-        overflow += jnp.sum((te[:, F:] < INF), axis=1, dtype=jnp.int32)
-        te, idx = te[:, :F], idx[:, :F]
+        te, idx, ovf = sort_trunc(te, idx, F)
+        overflow += ovf
 
     for l in range(1, len(levels)):
         child = levels[l].reshape(-1, 8, 8)  # (N_{l-1}, 8, 8)
@@ -242,15 +250,9 @@ def _descend(cb: ClusterBVH, ro, rd_inv, t_min, t_max):
                    ri_b[:, :, None, :], t_min[..., None], t_max[..., None])
         tc = jnp.where(te[..., None] < INF, tc, INF)  # dead parents
         cidx = idx[..., None] * 8 + jnp.arange(8, dtype=jnp.int32)
-        te = tc.reshape(Q, -1)
-        idx = cidx.reshape(Q, -1)
         cap = K if l == len(levels) - 1 else min(caps[l], levels[l].shape[0])
-        if te.shape[1] > cap:
-            te, idx = jax.lax.sort((te, idx), dimension=1, num_keys=1)
-            overflow += jnp.sum((te[:, cap:] < INF), axis=1, dtype=jnp.int32)
-            te, idx = te[:, :cap], idx[:, :cap]
-        else:
-            te, idx = jax.lax.sort((te, idx), dimension=1, num_keys=1)
+        te, idx, ovf = sort_trunc(tc.reshape(Q, -1), cidx.reshape(Q, -1), cap)
+        overflow += ovf
     return idx, te, overflow
 
 
