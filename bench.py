@@ -53,18 +53,28 @@ def main() -> None:
 
     backend = os.environ.get("BENCH_BACKEND", "packed")
 
+    bvh_kind = os.environ.get("BENCH_BVH", "sah")
     t0 = time.time()
-    if os.environ.get("BENCH_BVH", "sah") == "lbvh":
+    if backend == "cluster":
+        pb = os.environ.get("BENCH_PB")
+        pb = int(pb) if pb else None
+        if bvh_kind == "lbvh":  # device Morton-chunk build (config 3)
+            from tpu_pt.bvh.cluster import build_cluster_device
+
+            scene = jax.device_put(scene)
+            packed = jax.jit(build_cluster_device,
+                             static_argnames=("pair_budget",))(
+                scene, pair_budget=pb)
+            np.asarray(packed.tiles[0, 0, 0])  # fetch-sync
+        else:
+            from tpu_pt.bvh.cluster import build_cluster_bvh
+
+            packed = build_cluster_bvh(scene, pair_budget=pb)
+    elif bvh_kind == "lbvh":
         from tpu_pt.bvh.lbvh import build_lbvh
 
         packed = build_lbvh(scene)
         np.asarray(packed.table[0, 0])  # force completion (fetch-sync)
-    elif backend == "cluster":
-        from tpu_pt.bvh.cluster import build_cluster_bvh
-
-        pb = os.environ.get("BENCH_PB")
-        packed = build_cluster_bvh(
-            scene, pair_budget=int(pb) if pb else None)
     else:
         from tpu_pt.bvh.native import build_packed_any
 

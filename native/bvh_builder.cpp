@@ -258,4 +258,37 @@ void bvh_emit(void *handle, float *nodes_out, int *perm_out) {
   delete b;
 }
 
+// Cluster-BVH support (tpu_pt/bvh/cluster.py): emit leaves (= clusters)
+// instead of octant tables.  Leaves appear in DFS pre-order — spatially
+// coherent, which the implicit 8-ary pyramid's consecutive-8 grouping
+// relies on.  Does NOT free the handle (call bvh_emit_leaves once).
+int bvh_count_leaves(void *handle) {
+  auto *b = static_cast<Builder *>(handle);
+  int c = 0;
+  for (const Node &nd : b->nodes)
+    if (nd.left < 0) c++;
+  return c;
+}
+
+void bvh_emit_leaves(void *handle, float *leaf_lo /* L x 3 */,
+                     float *leaf_hi /* L x 3 */, int *leaf_start,
+                     int *leaf_count, int *perm_out) {
+  auto *b = static_cast<Builder *>(handle);
+  int li = 0;
+  for (const Node &nd : b->nodes) {
+    if (nd.left >= 0) continue;
+    leaf_lo[3 * li] = nd.bb.lo.x;
+    leaf_lo[3 * li + 1] = nd.bb.lo.y;
+    leaf_lo[3 * li + 2] = nd.bb.lo.z;
+    leaf_hi[3 * li] = nd.bb.hi.x;
+    leaf_hi[3 * li + 1] = nd.bb.hi.y;
+    leaf_hi[3 * li + 2] = nd.bb.hi.z;
+    leaf_start[li] = nd.start;
+    leaf_count[li] = nd.count;
+    li++;
+  }
+  std::memcpy(perm_out, b->perm.data(), b->n * sizeof(int));
+  delete b;
+}
+
 }  // extern "C"

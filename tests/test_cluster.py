@@ -108,3 +108,34 @@ def test_render_cluster_matches_oracle(setups):
         render_wavefront(scene, cam, cfg, key, cb, queue=512,
                          backend="cluster"))
     np.testing.assert_allclose(img_cl, img_ref, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("name", ["cornell", "big"])
+def test_device_build_matches_brute(setups, name):
+    """The jit-able Morton-chunk device build is traversal-correct."""
+    scene, _ = setups[name]
+    cb = jax.jit(cl.build_cluster_device, static_argnames=("tile",))(
+        scene, tile=64)
+    ro, rd = _rays(512, 11)
+    tmin = jnp.zeros((512, 1))
+    tmax = jnp.full((512, 1), 1e30)
+    h_ref = brute.intersect(scene, ro, rd, tmin, tmax)
+    h_cl = cl.intersect(cb, scene, ro, rd, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(h_ref.hit), np.asarray(h_cl.hit))
+    m = np.asarray(h_ref.hit)[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(h_ref.t)[m], np.asarray(h_cl.t)[m], rtol=1e-5, atol=1e-6)
+
+
+def test_device_build_pyramid_invariants(setups):
+    scene, _ = setups["big"]
+    cb = cl.build_cluster_device(scene, tile=64)
+    gid = np.asarray(cb.tile_gid)
+    tiles = np.asarray(cb.tiles)
+    real = (np.abs(tiles).sum(axis=1) > 0).reshape(-1)
+    ids = gid.reshape(-1)[real]
+    assert sorted(ids.tolist()) == list(range(scene.n_prims))
+    for l in range(len(cb.levels) - 1):
+        parent = np.asarray(cb.levels[l])
+        child = np.asarray(cb.levels[l + 1])
+        assert child.shape[0] == 8 * parent.shape[0]

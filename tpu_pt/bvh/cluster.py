@@ -127,16 +127,23 @@ def build_cluster_bvh(scene: Scene, tile: int = TILE,
                       pair_budget: int | None = None,
                       dense_start: int = 512) -> ClusterBVH:
     """Host build: SAH leaves (<=tile prims) -> padded tile tensor +
-    implicit 8-ary AABB pyramid (all numpy; upload via device_put)."""
-    bvh = build_bvh(scene, max_leaf=tile)
-    count = np.asarray(bvh.prim_count)
-    leaf = np.flatnonzero(count > 0)
-    start = np.asarray(bvh.prim_start)[leaf]
-    cnt = count[leaf]
-    lo = np.asarray(bvh.node_min)[leaf]
-    hi = np.asarray(bvh.node_max)[leaf]
-    pid = np.asarray(bvh.prim_ids)
-    C = len(leaf)
+    implicit 8-ary AABB pyramid (all numpy; upload via device_put).
+    Uses the native C++ SAH builder when present (10x host build speed)."""
+    from tpu_pt.bvh import native
+
+    leaves = native.build_leaves(scene, max_leaf=tile)
+    if leaves is not None:
+        start, cnt, lo, hi, pid = leaves
+    else:
+        bvh = build_bvh(scene, max_leaf=tile)
+        count = np.asarray(bvh.prim_count)
+        leaf = np.flatnonzero(count > 0)
+        start = np.asarray(bvh.prim_start)[leaf]
+        cnt = count[leaf]
+        lo = np.asarray(bvh.node_min)[leaf]
+        hi = np.asarray(bvh.node_max)[leaf]
+        pid = np.asarray(bvh.prim_ids)
+    C = len(start)
 
     # Tile tensor: (C, 12, tile) with zero padding (zero rows never hit:
     # zero edges => det 0 for triangles, radius 0 for spheres).
@@ -185,6 +192,106 @@ def build_cluster_bvh(scene: Scene, tile: int = TILE,
     pair_budget = pair_budget or min(k_leaf, 4)
     return ClusterBVH(levels, tiles, gid, tuple(frontiers), int(k_leaf),
                       int(pair_budget))
+
+
+def _ladder_sizes(C: int, dense_start: int):
+    n_levels = 1
+    top = C
+    while top > dense_start:
+        top = -(-top // 8)
+        n_levels += 1
+    return [top * 8 ** l for l in range(n_levels)]  # top-first
+
+
+def build_cluster_device(scene: Scene, tile: int = TILE,
+                         frontiers: Sequence[int] | None = None,
+                         k_leaf: int | None = None,
+                         pair_budget: int | None = None,
+                         dense_start: int = 512) -> ClusterBVH:
+    """DEVICE cluster build — the LBVH-style fast path (BASELINE.json
+    config 3: "LBVH device build, Morton sort on device").
+
+    Primitives are Morton-sorted by centroid and chopped into consecutive
+    ``tile``-sized chunks; chunk AABBs form the pyramid.  Everything is XLA
+    ops on static shapes (jit-able, reruns per animation frame).  Cluster
+    quality is below the host SAH build (Morton chunks overlap more), which
+    costs traversal time, not correctness — same capacity contract.
+    """
+    from tpu_pt.bvh.lbvh import morton_codes
+
+    v = scene.vertices
+    ti = scene.tri_idx
+    n_tris = scene.n_tris
+    p0, p1, p2 = v[ti[:, 0]], v[ti[:, 1]], v[ti[:, 2]]
+    tri_lo = jnp.minimum(jnp.minimum(p0, p1), p2)
+    tri_hi = jnp.maximum(jnp.maximum(p0, p1), p2)
+    sph_lo = scene.sph_center - scene.sph_radius[:, None]
+    sph_hi = scene.sph_center + scene.sph_radius[:, None]
+    lo = jnp.concatenate([tri_lo, sph_lo], axis=0)
+    hi = jnp.concatenate([tri_hi, sph_hi], axis=0)
+    P = lo.shape[0]
+
+    cent = (lo + hi) * 0.5
+    codes = morton_codes(cent, jnp.min(lo, axis=0), jnp.max(hi, axis=0))
+    order = jnp.argsort(codes).astype(jnp.int32)
+
+    # Packed (P, 12) primitive rows in Morton order (one-time gathers).
+    og = order
+    is_tri = og < n_tris
+    tg = jnp.where(is_tri, og, 0)
+    a0 = v[ti[tg, 0]]
+    e1 = v[ti[tg, 1]] - a0
+    e2 = v[ti[tg, 2]] - a0
+    rows = jnp.zeros((P, 12), jnp.float32)
+    if scene.n_spheres == 0:
+        rows = rows.at[:, 0:3].set(a0)
+        rows = rows.at[:, 3:6].set(e1)
+        rows = rows.at[:, 6:9].set(e2)
+    else:
+        sg = jnp.where(is_tri, 0, og - n_tris)
+        c0 = scene.sph_center[sg]
+        r0 = scene.sph_radius[sg]
+        rows = rows.at[:, 0:3].set(jnp.where(is_tri[:, None], a0, c0))
+        rows = rows.at[:, 3:6].set(jnp.where(
+            is_tri[:, None], e1,
+            jnp.concatenate([r0[:, None], jnp.zeros((P, 2))], -1)))
+        rows = rows.at[:, 6:9].set(jnp.where(is_tri[:, None], e2, 0.0))
+        rows = rows.at[:, 9].set(jnp.where(is_tri, 0.0, 1.0))
+
+    C = -(-P // tile)
+    pad = C * tile - P
+    rows = jnp.concatenate([rows, jnp.zeros((pad, 12))], axis=0)
+    gid = jnp.concatenate([og, jnp.zeros((pad,), jnp.int32)])
+    tiles = rows.reshape(C, tile, 12).transpose(0, 2, 1)
+    gid = gid.reshape(C, tile)
+
+    lo_s = jnp.concatenate(
+        [lo[og], jnp.full((pad, 3), jnp.inf)], axis=0).reshape(C, tile, 3)
+    hi_s = jnp.concatenate(
+        [hi[og], jnp.full((pad, 3), -jnp.inf)], axis=0).reshape(C, tile, 3)
+    c_lo = jnp.min(lo_s, axis=1)
+    c_hi = jnp.max(hi_s, axis=1)
+
+    sizes = _ladder_sizes(C, dense_start)
+    pad_c = sizes[-1] - C
+    cur_lo = jnp.concatenate([c_lo, jnp.full((pad_c, 3), jnp.inf)], axis=0)
+    cur_hi = jnp.concatenate([c_hi, jnp.full((pad_c, 3), -jnp.inf)], axis=0)
+    levels = []
+    for li in range(len(sizes)):
+        row = jnp.concatenate(
+            [cur_lo, cur_hi, jnp.zeros((cur_lo.shape[0], 2))], axis=1)
+        levels.insert(0, row.astype(jnp.float32))
+        if li < len(sizes) - 1:
+            cur_lo = jnp.min(cur_lo.reshape(-1, 8, 3), axis=1)
+            cur_hi = jnp.max(cur_hi.reshape(-1, 8, 3), axis=1)
+
+    if frontiers is None or k_leaf is None:
+        df, dk = default_frontiers([lv.shape[0] for lv in levels])
+        frontiers = tuple(frontiers) if frontiers is not None else df
+        k_leaf = int(k_leaf) if k_leaf is not None else dk
+    pair_budget = pair_budget or min(k_leaf, 4)
+    return ClusterBVH(levels, tiles.astype(jnp.float32), gid,
+                      tuple(frontiers), int(k_leaf), int(pair_budget))
 
 
 # ---------------------------------------------------------------------------

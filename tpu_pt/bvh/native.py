@@ -39,8 +39,50 @@ def _load():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int),
         ]
+        if hasattr(lib, "bvh_count_leaves"):
+            lib.bvh_count_leaves.restype = ctypes.c_int
+            lib.bvh_count_leaves.argtypes = [ctypes.c_void_p]
+            lib.bvh_emit_leaves.restype = None
+            lib.bvh_emit_leaves.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ]
         _lib = lib
     return _lib
+
+
+def build_leaves(scene: Scene, max_leaf: int):
+    """Native SAH build -> (start, count, lo, hi, prim_perm) leaf arrays in
+    DFS order (the cluster-BVH host build).  None if lib missing/old."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bvh_count_leaves"):
+        return None
+    lo, hi = prim_bounds(scene)
+    lo = np.ascontiguousarray(lo, np.float32)
+    hi = np.ascontiguousarray(hi, np.float32)
+    n = lo.shape[0]
+    n_nodes = ctypes.c_int(0)
+    handle = lib.bvh_build(
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, max_leaf, ctypes.byref(n_nodes),
+    )
+    n_leaves = lib.bvh_count_leaves(ctypes.c_void_p(handle))
+    l_lo = np.empty((n_leaves, 3), np.float32)
+    l_hi = np.empty((n_leaves, 3), np.float32)
+    start = np.empty((n_leaves,), np.int32)
+    count = np.empty((n_leaves,), np.int32)
+    perm = np.empty((n,), np.int32)
+    lib.bvh_emit_leaves(
+        ctypes.c_void_p(handle),
+        l_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        l_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        start.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        count.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return start, count, l_lo, l_hi, perm
 
 
 def _prim_rows(scene: Scene, pid: np.ndarray) -> np.ndarray:
