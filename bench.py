@@ -14,10 +14,12 @@ vs_baseline: ratio against the recorded best-known value in BASELINE.md
 SURVEY.md §6).  The driver records the output in BENCH_r{N}.json.
 
 Environment knobs:
-  BENCH_SCENE   (default "big")     big=262k tris, big-1m=1M tris
-  BENCH_SIZE    (default 512)       image side; bench config 3 uses 1024
-  BENCH_SPP     (default 4)
-  BENCH_QUEUE   (default 1<<17)
+  BENCH_BACKEND (default "cluster") cluster | packed | bvh
+  BENCH_SCENE   (default "big-1m")  big=327k tris, big-1m=1.3M tris
+  BENCH_SIZE    (default 1024)      image side (config 3 headline = 1024)
+  BENCH_SPP     (default 1)
+  BENCH_QUEUE   (default 8192)
+  BENCH_BVH     (default "sah")     sah (host native) | lbvh (device build)
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ import time
 
 # Recorded best (update when BASELINE.md changes): rays/s/chip on the bench
 # config below, measured on 1 TPU v5e chip.  First round sets the bar.
-BASELINE_RAYS_PER_S = 1.0e6
+BASELINE_RAYS_PER_S = 318206.0  # r1: cluster backend, big-1m 1024^2 spp1 d4, TPU v5e
 
 
 def main() -> None:
@@ -40,10 +42,10 @@ def main() -> None:
     from tpu_pt.render.wavefront import n_steps, render_wavefront_counts
     from tpu_pt.scene import meshes
 
-    scene_name = os.environ.get("BENCH_SCENE", "big")
-    size = int(os.environ.get("BENCH_SIZE", "512"))
-    spp = int(os.environ.get("BENCH_SPP", "4"))
-    queue = int(os.environ.get("BENCH_QUEUE", str(1 << 14)))
+    scene_name = os.environ.get("BENCH_SCENE", "big-1m")
+    size = int(os.environ.get("BENCH_SIZE", "1024"))
+    spp = int(os.environ.get("BENCH_SPP", "1"))
+    queue = int(os.environ.get("BENCH_QUEUE", str(1 << 13)))
 
     subdiv = {"big": 7, "big-1m": 8}[scene_name]
     scene = meshes.big_scene(subdiv=subdiv)  # host (numpy) pytree
@@ -51,7 +53,7 @@ def main() -> None:
     cfg = RenderConfig(width=size, height=size, spp=spp, max_depth=4,
                        rr_start=2, rr_prob=0.7)
 
-    backend = os.environ.get("BENCH_BACKEND", "packed")
+    backend = os.environ.get("BENCH_BACKEND", "cluster")
 
     bvh_kind = os.environ.get("BENCH_BVH", "sah")
     t0 = time.time()

@@ -73,7 +73,8 @@ def test_sharded_grads_match_unsharded(setup):
 
     def ref_loss(p):
         img = render_wavefront(merge(p, scene), cam, cfg, key, packed,
-                               queue=256, backend="packed").reshape(-1, 3)
+                               queue=256, backend="packed",
+                               fast=False).reshape(-1, 3)
         return jnp.sum((img - target) ** 2) / (cfg.n_pixels * 3)
 
     loss_ref, grads_ref = jax.value_and_grad(ref_loss)(params)
@@ -88,3 +89,21 @@ def test_sharded_grads_match_unsharded(setup):
             np.asarray(grads_sh[k]), np.asarray(grads_ref[k]),
             rtol=1e-4, atol=1e-6, err_msg=k,
         )
+
+
+def test_sharded_render_cluster_backend_matches_single(setup):
+    """The production (cluster) intersector under shard_map: bit-identical
+    to its own single-device render."""
+    from tpu_pt.bvh.cluster import build_cluster_bvh
+
+    scene, _ = setup
+    cb = build_cluster_bvh(scene)
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=2)
+    cam = cornell.camera(16, 16)
+    key = jax.random.key(2)
+    mesh = make_mesh()
+    img_sh = np.asarray(render_sharded(scene, cam, cfg, key, cb, mesh,
+                                       queue=256, backend="cluster"))
+    img_1 = np.asarray(render_wavefront(scene, cam, cfg, key, cb,
+                                        queue=256, backend="cluster"))
+    np.testing.assert_array_equal(img_sh, img_1)

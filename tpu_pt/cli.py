@@ -76,22 +76,36 @@ def cmd_render(args) -> int:
     else:  # wavefront — the TPU performance path
         import numpy as np
 
-        from tpu_pt.bvh.native import build_packed_any
         from tpu_pt.render.wavefront import render_wavefront
 
-        if args.bvh == "lbvh":
-            from tpu_pt.bvh.lbvh import build_lbvh
+        if args.backend == "cluster":
+            if args.bvh == "lbvh":
+                from tpu_pt.bvh.cluster import build_cluster_device
 
-            packed = build_lbvh(scene)
-        else:
-            packed = build_packed_any(scene)
-        packed = jax.device_put(packed)
+                scene = jax.device_put(scene)
+                bvh = jax.jit(build_cluster_device)(scene)
+            else:
+                from tpu_pt.bvh.cluster import build_cluster_bvh
+
+                bvh = build_cluster_bvh(scene)
+            wf_backend = "cluster"
+        else:  # "wavefront"/"packed": octant skip-pointer traversal
+            if args.bvh == "lbvh":
+                from tpu_pt.bvh.lbvh import build_lbvh
+
+                bvh = build_lbvh(scene)
+            else:
+                from tpu_pt.bvh.native import build_packed_any
+
+                bvh = build_packed_any(scene)
+            wf_backend = "packed"
+        bvh = jax.device_put(bvh)
         scene = jax.device_put(scene)
+        # np.asarray fetches = the only reliable sync over the device tunnel
+        # (block_until_ready returns early there).
         img = np.asarray(
-            jax.block_until_ready(
-                render_wavefront(scene, cam, cfg, key, packed,
-                                 queue=args.queue, backend="packed")
-            )
+            render_wavefront(scene, cam, cfg, key, bvh,
+                             queue=args.queue, backend=wf_backend)
         )
     dt = time.time() - t0
 
@@ -177,9 +191,10 @@ def main(argv=None) -> int:
     pr.add_argument("-f", "--outfile", default="out.png")
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--direct-only", action="store_true")
-    pr.add_argument("--backend", choices=["brute", "bvh", "wavefront"],
-                    default="wavefront")
-    pr.add_argument("--queue", type=int, default=1 << 17,
+    pr.add_argument("--backend",
+                    choices=["brute", "bvh", "wavefront", "cluster"],
+                    default="cluster")
+    pr.add_argument("--queue", type=int, default=1 << 13,
                     help="wavefront queue size (lanes)")
     pr.add_argument("--bvh", choices=["sah", "lbvh"], default="sah",
                     help="BVH build: host SAH (native/C++) or device LBVH")

@@ -267,12 +267,18 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
     return st.accum
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "queue", "backend"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "queue", "backend", "fast"))
 def render_wavefront(scene: Scene, cam, cfg: RenderConfig, key, bvh,
-                     queue: int = 1 << 17, backend: str = "bvh"):
-    """Full-image render -> (H, W, 3) linear radiance."""
+                     queue: int = 1 << 17, backend: str = "bvh",
+                     fast: bool = True):
+    """Full-image render -> (H, W, 3) linear radiance.
+
+    fast=True uses an early-exit while_loop (NOT reverse-differentiable);
+    pass fast=False to differentiate through the render (fixed-length scan,
+    pays the full worst-case step bound)."""
     accum = wavefront_accum(scene, cam, cfg, key, bvh, queue, backend,
-                            0, cfg.n_pixels, fast=True)
+                            0, cfg.n_pixels, fast=fast)
     img = accum / cfg.spp
     return img.reshape(cfg.height, cfg.width, 3)
 
