@@ -18,7 +18,7 @@ Environment knobs:
   BENCH_SCENE   (default "big-1m")  big=327k tris, big-1m=1.3M tris
   BENCH_SIZE    (default 1024)      image side (config 3 headline = 1024)
   BENCH_SPP     (default 1)
-  BENCH_QUEUE   (default 8192)
+  BENCH_QUEUE   (default 4096)
   BENCH_BVH     (default "sah")     sah (host native) | lbvh (device build)
 """
 
@@ -31,7 +31,7 @@ import time
 
 # Recorded best (update when BASELINE.md changes): rays/s/chip on the bench
 # config below, measured on 1 TPU v5e chip.  First round sets the bar.
-BASELINE_RAYS_PER_S = 318206.0  # r1: cluster backend, big-1m 1024^2 spp1 d4, TPU v5e
+BASELINE_RAYS_PER_S = 330628.0  # r1: cluster backend, big-1m 1024^2 spp1 d4 q4096, TPU v5e
 
 
 def main() -> None:
@@ -45,7 +45,7 @@ def main() -> None:
     scene_name = os.environ.get("BENCH_SCENE", "big-1m")
     size = int(os.environ.get("BENCH_SIZE", "1024"))
     spp = int(os.environ.get("BENCH_SPP", "1"))
-    queue = int(os.environ.get("BENCH_QUEUE", str(1 << 13)))
+    queue = int(os.environ.get("BENCH_QUEUE", str(1 << 12)))
 
     subdiv = {"big": 7, "big-1m": 8}[scene_name]
     scene = meshes.big_scene(subdiv=subdiv)  # host (numpy) pytree
@@ -71,7 +71,10 @@ def main() -> None:
         else:
             from tpu_pt.bvh.cluster import build_cluster_bvh
 
-            packed = build_cluster_bvh(scene, pair_budget=pb)
+            tile = int(os.environ.get("BENCH_TILE", "128"))
+            ds = int(os.environ.get("BENCH_DENSE_START", "512"))
+            packed = build_cluster_bvh(scene, tile=tile, pair_budget=pb,
+                                       dense_start=ds)
     elif bvh_kind == "lbvh":
         from tpu_pt.bvh.lbvh import build_lbvh
 

@@ -338,9 +338,20 @@ def _descend(cb: ClusterBVH, ro, rd_inv, t_min, t_max):
     overflow = jnp.zeros((Q,), jnp.int32)
 
     def sort_trunc(te, idx, cap):
-        # NOTE: a single-operand sort with (bf16(t) << 16 | idx) packed keys
-        # was tried and measured SLOWER than the two-operand sort on v5e.
-        te, idx = jax.lax.sort((te, idx), dimension=1, num_keys=1)
+        # Sort keys in bf16, ROUNDED DOWN (bit truncation — exact for
+        # non-negative floats), so the returned entry-t is a conservative
+        # lower bound and best-t pruning stays exact.  INF is a finite
+        # sentinel (1e30) whose truncation is 9.953e29 — snap it back, or
+        # every miss would read as a hit.  A single-operand (bf16<<16|idx)
+        # packed sort was also tried and measured SLOWER on v5e.
+        te16 = jax.lax.convert_element_type(
+            jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(te, jnp.int32)
+                & jnp.int32(-65536), jnp.float32),
+            jnp.bfloat16)
+        te16, idx = jax.lax.sort((te16, idx), dimension=1, num_keys=1)
+        te = jax.lax.convert_element_type(te16, jnp.float32)
+        te = jnp.where(te >= 9.953038e29, INF, te)
         ovf = jnp.sum((te[:, cap:] < INF), axis=1, dtype=jnp.int32) \
             if te.shape[1] > cap else jnp.int32(0)
         return te[:, :cap], idx[:, :cap], ovf
