@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from tpu_pt.core.vecmath import dot, normalize
 from tpu_pt.scene.types import (
     LIGHT_AREA, LIGHT_POINT, LIGHT_DIRECTIONAL, LIGHT_HEMISPHERE, LIGHT_TRI,
-    LIGHT_ENV,
+    LIGHT_ENV, LIGHT_SPOT,
 )
 
 
@@ -58,12 +58,17 @@ def sample_light(lights, li: int, p, u, env_map=None):
     pdf_a = dist2 / jnp.maximum(area * jnp.maximum(cos_l, 1e-9), 1e-12)
     rad_a = jnp.where(cos_l > 0.0, rad, 0.0) * jnp.ones_like(p)
 
-    # ---- Point light: intensity / r^2, delta. ----
+    # ---- Point light: intensity / r^2, delta.  A spot light is a point
+    # light masked to a hard cone about its axis (reference SpotLight:
+    # position + direction + cone angle); cos(half-angle) rides in
+    # edge_x[0]. ----
     dp = pos - p
     dist2p = jnp.maximum(dot(dp, dp), 1e-12)
     dist_p = jnp.sqrt(dist2p)
     wi_p = dp / dist_p
-    rad_p = rad / dist2p * jnp.ones_like(p)
+    in_cone = dot(-wi_p, normalize(nrm)) >= ex[0]
+    spot_gain = jnp.where((kind == LIGHT_SPOT) & ~in_cone, 0.0, 1.0)
+    rad_p = rad / dist2p * spot_gain * jnp.ones_like(p)
 
     # ---- Directional light: constant radiance from -direction, delta. ----
     wi_d = jnp.broadcast_to(normalize(-nrm), p.shape)
@@ -91,9 +96,11 @@ def sample_light(lights, li: int, p, u, env_map=None):
     inf = jnp.full_like(dist_a, 1e30)
     one = jnp.ones_like(dist_a)
 
+    is_pnt = (kind == LIGHT_POINT) | (kind == LIGHT_SPOT)
+
     def sel(a, pnt, drc, hemi):
         return jnp.where((kind == LIGHT_AREA) | is_tri, a,
-               jnp.where(kind == LIGHT_POINT, pnt,
+               jnp.where(is_pnt, pnt,
                jnp.where(kind == LIGHT_DIRECTIONAL, drc, hemi)))
 
     return LightSample(
@@ -102,6 +109,6 @@ def sample_light(lights, li: int, p, u, env_map=None):
         radiance=sel(rad_a, rad_p, rad_d, rad_h),
         pdf=sel(pdf_a, one, one, pdf_h),
         delta=jnp.broadcast_to(
-            (kind == LIGHT_POINT) | (kind == LIGHT_DIRECTIONAL), dist_a.shape
+            is_pnt | (kind == LIGHT_DIRECTIONAL), dist_a.shape
         ),
     )

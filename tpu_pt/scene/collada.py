@@ -222,10 +222,12 @@ def load(path: str):
     for l in _findall(_find(root, "library_lights"), "light"):
         for el in l.iter():
             t = _tag(el)
-            if t in ("point", "directional", "ambient"):
+            if t in ("point", "directional", "ambient", "spot"):
                 col = _find(el, "color")
                 c = tuple(_floats(col.text)[:3]) if col is not None else (1, 1, 1)
-                light_defs[l.get("id")] = (t, c)
+                ang = _find(el, "falloff_angle")
+                half = float(ang.text) / 2.0 if ang is not None else 22.5
+                light_defs[l.get("id")] = (t, c, half)
 
     # Visual scene: walk nodes, instance geometry/cameras/lights.
     verts_out: List[np.ndarray] = []
@@ -271,8 +273,18 @@ def load(path: str):
             elif t == "instance_light":
                 lid = (el.get("url") or "").lstrip("#")
                 if lid in light_defs:
-                    kind, c = light_defs[lid]
-                    if kind == "point":
+                    kind, c, half = light_defs[lid]
+                    if kind == "spot":
+                        from tpu_pt.scene.types import LIGHT_SPOT
+
+                        d = -m[:3, 2]  # collada spot shines down -z
+                        cos_half = float(np.cos(np.deg2rad(half)))
+                        light_rows.append(dict(
+                            kind=LIGHT_SPOT, position=tuple(m[:3, 3]),
+                            normal=tuple(d), edge_x=(cos_half, 0, 0),
+                            radiance=c,
+                        ))
+                    elif kind == "point":
                         light_rows.append(dict(
                             kind=LIGHT_POINT, position=tuple(m[:3, 3]),
                             radiance=c,

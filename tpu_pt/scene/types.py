@@ -37,6 +37,7 @@ LIGHT_DIRECTIONAL = 2
 LIGHT_HEMISPHERE = 3
 LIGHT_TRI = 4
 LIGHT_ENV = 5  # environment map (uniform-sphere NEE; radiance from Scene.env_map)
+LIGHT_SPOT = 6  # spot: position + normal(=axis) + hard cone, cos(half-angle) in edge_x[0]
 
 
 class Materials(NamedTuple):
