@@ -139,3 +139,28 @@ def test_device_build_pyramid_invariants(setups):
         parent = np.asarray(cb.levels[l])
         child = np.asarray(cb.levels[l + 1])
         assert child.shape[0] == 8 * parent.shape[0]
+
+
+def test_pallas_pair_kernel_matches_xla(setups):
+    """The fused Pallas pair-tile kernel (optional backend) is bit-exact
+    against the XLA block-gather path."""
+    scene, cb = setups["big"]
+    if cb.tiles.shape[2] != 128:
+        cb = cl.build_cluster_bvh(scene)  # kernel needs 128-lane tiles
+    ro, rd = _rays(512, 13)
+    tmin = jnp.zeros((512, 1))
+    tmax = jnp.full((512, 1), 1e30)
+    old = cl.USE_PALLAS_PAIRS
+    try:
+        cl.USE_PALLAS_PAIRS = False
+        h_x = cl.intersect(cb, scene, ro, rd, tmin, tmax)
+        cl.USE_PALLAS_PAIRS = True
+        h_p = cl.intersect(cb, scene, ro, rd, tmin, tmax)
+    finally:
+        cl.USE_PALLAS_PAIRS = old
+    np.testing.assert_array_equal(np.asarray(h_x.hit), np.asarray(h_p.hit))
+    # fma/ordering differences leave ulp-level t deltas
+    np.testing.assert_allclose(np.asarray(h_x.t), np.asarray(h_p.t),
+                               rtol=1e-6, atol=1e-6)
+    m = np.asarray(h_x.hit)[:, 0]
+    assert (np.asarray(h_x.prim) == np.asarray(h_p.prim))[m].mean() > 0.99

@@ -446,11 +446,41 @@ def _seg_min(t, seg_start):
     return mt, mi
 
 
+# Fused Pallas pair-tile kernel (tpu_pt/kernels/cluster_isect.py): streams
+# tiles HBM->VMEM by cluster id instead of materializing the (P, 12, 128)
+# gather.  Measured on v5e (1M-tri bench): 295k rays/s vs 330k for the XLA
+# block-gather — per-tile DMAs don't beat XLA's pipelined gather at 6KB
+# granularity, so XLA stays the default; the kernel remains a supported,
+# tested backend (flip this flag) and the base for a future
+# sorted-by-cluster variant that dedupes tile fetches.
+USE_PALLAS_PAIRS = False
+
+
 def _test_pair_batch(cb: ClusterBVH, ro, rd, t_min1, t_max1, ray_c, cid_c,
                      pair_ok):
     """Dense tile intersection of a flat pair batch.  Returns per-pair
     (t (P,), u, v, gid) with INF on miss."""
     cid_c = jnp.clip(cid_c, 0, cb.n_clusters - 1)
+    P = cid_c.shape[0]
+    if USE_PALLAS_PAIRS and cb.tiles.shape[1] == 12 \
+            and cb.tiles.shape[2] == 128:
+        from tpu_pt.kernels.cluster_isect import B as PBLK, pair_tile_isect
+
+        pad = (-P) % PBLK
+        cid_p = jnp.concatenate(
+            [cid_c, jnp.zeros((pad,), cid_c.dtype)]) if pad else cid_c
+        rays = jnp.zeros((P + pad, 16), jnp.float32)
+        rays = rays.at[:P, 0:3].set(ro[ray_c])
+        rays = rays.at[:P, 3:6].set(rd[ray_c])
+        rays = rays.at[:P, 6].set(t_min1[ray_c])
+        rays = rays.at[:P, 7].set(t_max1[ray_c])
+        rays = rays.at[:P, 8].set(pair_ok.astype(jnp.float32))
+        out = pair_tile_isect(cb.tiles, cid_p, rays)[:P]
+        t_pair = out[:, 0]
+        lane = out[:, 1].astype(jnp.int32)
+        return (t_pair, out[:, 2], out[:, 3],
+                cb.tile_gid[cid_c, jnp.clip(lane, 0, 127)])
+
     tile = cb.tiles[cid_c]                          # (P, 12, L) block gather
     t_lane, u_lane, v_lane = _prim_tile_test(
         tile, ro[ray_c], rd[ray_c], t_min1[ray_c][:, None],
