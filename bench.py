@@ -68,6 +68,25 @@ def main() -> None:
                              static_argnames=("pair_budget",))(
                 scene, pair_budget=pb)
             np.asarray(packed.tiles[0, 0, 0])  # fetch-sync
+        elif os.environ.get("BENCH_AUTOTUNE"):
+            # Frontier caps sized from measured per-level hit counts of a
+            # camera + random ray sample (cluster.autotune_frontiers).
+            import jax.numpy as jnp
+
+            from tpu_pt.bvh.cluster import autotune_frontiers
+            from tpu_pt.core.camera import generate_rays, pixel_xy
+
+            k1, k2, k3 = jax.random.split(jax.random.key(7), 3)
+            pix = jax.random.randint(k1, (2048,), 0, cfg.n_pixels)
+            xy = pixel_xy(size, size, pix, jnp.full((2048, 2), 0.5))
+            ro_c, rd_c = generate_rays(cam, xy)
+            ro_r = jax.random.uniform(k2, (2048, 3), minval=-2, maxval=2)
+            rd_r = jax.random.normal(k3, (2048, 3))
+            rd_r = rd_r / jnp.linalg.norm(rd_r, axis=-1, keepdims=True)
+            ro_s = jnp.concatenate([ro_c, ro_r]).astype(jnp.float32)
+            rd_s = jnp.concatenate([rd_c, rd_r]).astype(jnp.float32)
+            packed = autotune_frontiers(scene, ro_s, rd_s, pair_budget=pb)
+            print(f"# autotuned frontiers: {packed.frontiers}")
         else:
             from tpu_pt.bvh.cluster import build_cluster_bvh
 

@@ -164,3 +164,18 @@ def test_pallas_pair_kernel_matches_xla(setups):
                                rtol=1e-6, atol=1e-6)
     m = np.asarray(h_x.hit)[:, 0]
     assert (np.asarray(h_x.prim) == np.asarray(h_p.prim))[m].mean() > 0.99
+
+
+def test_autotune_frontiers(setups):
+    """Autotuned caps cover measured needs and stay traversal-correct."""
+    scene, _ = setups["big"]
+    ro, rd = _rays(1024, 17)
+    cb = cl.autotune_frontiers(scene, ro, rd, tile=64)
+    counts = np.asarray(cl.level_hit_counts(cb, ro, rd))
+    for l in range(len(cb.levels)):
+        assert cb.frontiers[l] >= counts[:, l].max()
+    tmin = jnp.zeros((1024, 1))
+    tmax = jnp.full((1024, 1), 1e30)
+    h_ref = brute.intersect(scene, ro, rd, tmin, tmax)
+    h_cl = cl.intersect(cb, scene, ro, rd, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(h_ref.hit), np.asarray(h_cl.hit))
