@@ -168,12 +168,24 @@ def cmd_dump_bvh(args) -> int:
     bvh = build_bvh(scene)
     n = int(bvh.node_min.shape[0])
     leaf = np.asarray(bvh.prim_count) > 0
+
+    from tpu_pt.bvh.cluster import build_cluster_bvh
+
+    cb = build_cluster_bvh(scene)
     print(json.dumps(dict(
         scene=args.scene, prims=scene.n_prims, nodes=n,
         leaves=int(leaf.sum()),
         max_leaf_size=int(np.asarray(bvh.prim_count).max()),
         root_min=np.asarray(bvh.node_min)[0].tolist(),
         root_max=np.asarray(bvh.node_max)[0].tolist(),
+        cluster=dict(
+            clusters=cb.n_clusters,
+            pyramid_levels=[int(l.shape[0]) for l in cb.levels],
+            frontier_caps=list(cb.frontiers),
+            k_leaf=cb.k_leaf,
+            pair_budget=cb.pair_budget,
+            tile_bytes=int(np.asarray(cb.tiles).nbytes),
+        ),
     )))
     return 0
 
