@@ -179,3 +179,28 @@ def test_autotune_frontiers(setups):
     h_ref = brute.intersect(scene, ro, rd, tmin, tmax)
     h_cl = cl.intersect(cb, scene, ro, rd, tmin, tmax)
     np.testing.assert_array_equal(np.asarray(h_ref.hit), np.asarray(h_cl.hit))
+
+
+@pytest.mark.parametrize("name", ["cornell", "mesh", "big"])
+def test_pairs_mode_matches_frontier(setups, name, monkeypatch):
+    """The pair-major traversal (r2 optimization target) must report the
+    identical hits and occlusion as the frontier walk on every scene."""
+    scene, cb = setups[name]
+    ro, rd = _rays(512, 17)
+    t_min = jnp.zeros((512, 1), jnp.float32)
+    t_max = jnp.full((512, 1), 1e30, jnp.float32)
+
+    monkeypatch.setattr(cl, "TRAVERSAL_MODE", "frontier")
+    h_f = cl.intersect(cb, scene, ro, rd, t_min, t_max)
+    o_f = cl.occluded(cb, scene, ro, rd, jnp.full((512, 1), 2.0))
+    monkeypatch.setattr(cl, "TRAVERSAL_MODE", "pairs")
+    h_p = cl.intersect(cb, scene, ro, rd, t_min, t_max)
+    o_p = cl.occluded(cb, scene, ro, rd, jnp.full((512, 1), 2.0))
+
+    np.testing.assert_array_equal(np.asarray(h_f.hit), np.asarray(h_p.hit))
+    np.testing.assert_allclose(np.asarray(h_f.t), np.asarray(h_p.t),
+                               rtol=1e-6)
+    hit = np.asarray(h_f.hit)[:, 0]
+    np.testing.assert_array_equal(np.asarray(h_f.prim)[hit],
+                                  np.asarray(h_p.prim)[hit])
+    np.testing.assert_array_equal(np.asarray(o_f), np.asarray(o_p))

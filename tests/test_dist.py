@@ -91,6 +91,69 @@ def test_sharded_grads_match_unsharded(setup):
         )
 
 
+def test_grad_psums_are_per_chunk(setup):
+    """Structural proof of the overlapped allreduce (BASELINE config 5):
+    the compiled training step must contain one all-reduce PER remat chunk
+    (issued inside the backward sweep), not a single tail psum."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    from tpu_pt.diff.params import merge
+    from tpu_pt.render.wavefront import n_steps, wavefront_accum
+
+    scene, packed = setup
+    packed = jax.tree.map(jnp.asarray, packed)  # closed over → device arrays
+    # Sizes chosen so the shard step count exceeds the remat threshold and
+    # yields several chunks.
+    cfg = RenderConfig(width=16, height=16, spp=4, max_depth=2)
+    cam = cornell.camera(16, 16)
+    key = jax.random.key(3)
+    mesh = make_mesh()
+    params, _ = split(scene)
+    n = mesh.devices.size
+    block = cfg.n_pixels // n
+    queue = 32
+    steps = n_steps(cfg, queue, block, cfg.spp)
+    inner = max(1, int(round(steps ** 0.5)))
+    outer = -(-steps // inner)
+    assert outer >= 3  # several chunks, else the test is vacuous
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), params), P("tile")),
+        out_specs=jax.tree.map(lambda _: P(), params),
+        check_vma=False,
+    )
+    def grad_step(params_r, shard_ids):
+        pix_lo = shard_ids[0] * block
+
+        def local_loss(p):
+            sc = merge(p, scene)
+            accum = wavefront_accum(sc, cam, cfg, key, packed, queue,
+                                    "packed", pix_lo, block,
+                                    psum_axis="tile")
+            return jnp.sum((accum / cfg.spp) ** 2)
+
+        return jax.grad(local_loss)(params_r)
+
+    shard_ids = jnp.arange(n, dtype=jnp.int32)
+    hlo = jax.jit(grad_step).lower(params, shard_ids).compile().as_text()
+    # The psum must execute INSIDE the backward scan's while-loop body —
+    # once per chunk, interleaved with the adjoint compute — not as a tail
+    # reduction after the sweep.  XLA's op metadata records exactly that:
+    # the all-reduce is tagged transpose(jvp())/while/body/.../psum.
+    ar_lines = [l for l in hlo.splitlines() if "all-reduce" in l
+                and "op_name=" in l and "psum" in l]
+    assert ar_lines, "no psum all-reduce found in compiled HLO"
+    assert any("transpose" in l and "while/body" in l for l in ar_lines), \
+        ar_lines[:3]
+
+
 def test_sharded_render_cluster_backend_matches_single(setup):
     """The production (cluster) intersector under shard_map: bit-identical
     to its own single-device render."""

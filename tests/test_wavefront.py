@@ -62,6 +62,19 @@ class TestWavefrontEquivalence:
                                             queue=4096, backend="bvh"))
         np.testing.assert_allclose(small, large, rtol=1e-4, atol=1e-6)
 
+    def test_glossy_matches_oracle(self):
+        """GGX materials must keep the wavefront == oracle equivalence
+        (same bsdf module on both paths)."""
+        scene = cornell.cornell("glossy")
+        bvh = build_bvh(scene)
+        cfg = _cfg(rr_start=1, rr_prob=0.8)
+        key = jax.random.key(5)
+        cam = cornell.camera(cfg.width, cfg.height)
+        ref = render(scene, cam, cfg, key, backend="brute")
+        img = np.asarray(render_wavefront(scene, cam, cfg, key, bvh,
+                                          queue=256, backend="brute"))
+        np.testing.assert_allclose(img, ref, rtol=1e-4, atol=1e-5)
+
     def test_bvh_backend_matches_brute_backend(self, setup):
         scene, bvh = setup
         cfg = _cfg()

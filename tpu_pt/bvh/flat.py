@@ -9,8 +9,8 @@ skip[i] (miss / after leaf).  Terminated lanes idle at cursor == N until the
 slowest lane finishes — the wavefront renderer compacts those away between
 bounces (SURVEY.md §2 "Parallelism strategies").
 
-This module is the semantic reference for the Pallas traversal kernel
-(tpu_pt/kernels/traversal.py); both must report identical nearest hits
+This module is the semantic reference for the Pallas intersect kernel
+(tpu_pt/kernels/intersect.py); both must report identical nearest hits
 (tests compare against render/brute.py).
 """
 

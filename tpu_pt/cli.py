@@ -28,6 +28,7 @@ def _load_scene(name: str):
         "cornell": lambda: (cornell.cornell("empty"), cornell.camera),
         "cornell-empty": lambda: (cornell.cornell("empty"), cornell.camera),
         "cornell-spheres": lambda: (cornell.cornell("spheres"), cornell.camera),
+        "cornell-glossy": lambda: (cornell.cornell("glossy"), cornell.camera),
         "cornell-mesh": lambda: (cornell.cornell("mesh"), cornell.camera),
         "big": lambda: (meshes.big_scene(subdiv=7), meshes.big_camera),
         "big-1m": lambda: (meshes.big_scene(subdiv=8), meshes.big_camera),

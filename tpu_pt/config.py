@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -28,16 +27,9 @@ class RenderConfig:
     rr_prob: float = 0.7             # continuation probability for RR
     # Wavefront machinery
     spp_chunk: int = 4               # spp rendered per device pass (memory knob)
-    ray_block: int = 1024            # wavefront queue block granularity
-    compact: bool = True             # stream-compact terminated rays each bounce
-    sort_rays: bool = False          # sort surviving rays by material for coherence
     # Numerics
     dtype: str = "float32"
     eps: float = 1e-4                # shadow/secondary ray offset
-    # Distribution
-    mesh_shape: Tuple[int, ...] = ()  # () = single device
-    # Backend selection for the hot path: "xla" | "pallas"
-    traversal: str = "xla"
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
@@ -52,6 +44,8 @@ class RenderConfig:
     @classmethod
     def from_json(cls, s: str) -> "RenderConfig":
         d = json.loads(s)
-        if "mesh_shape" in d and d["mesh_shape"] is not None:
-            d["mesh_shape"] = tuple(d["mesh_shape"])
+        # Knobs removed in r2 (were never read); accept old configs.
+        for dead in ("mesh_shape", "ray_block", "compact", "sort_rays",
+                     "traversal"):
+            d.pop(dead, None)
         return cls(**d)

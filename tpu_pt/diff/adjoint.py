@@ -64,12 +64,6 @@ def render_grad(params, scene: Scene, cam, cfg: RenderConfig, key, grad_image,
     grad_image: (n_pixels, 3) cotangent (e.g. dLoss/dPixel).
     Returns (image, grads) with grads a dict matching ``params``.
     """
-    def f(p):
-        img = render_flat(merge(p, scene), cam, cfg, key, backend, bvh)
-        return img, img
-
-    (_, img), vjp_fn = jax.vjp(lambda p: f(p), params, has_aux=False)
-    # jax.vjp with tuple output: f returns (img, img); simpler to redo:
     img, vjp_fn = jax.vjp(
         lambda p: render_flat(merge(p, scene), cam, cfg, key, backend, bvh),
         params,
@@ -85,6 +79,27 @@ def loss_and_grad(params, scene: Scene, cam, cfg: RenderConfig, key, target,
     target: (n_pixels, 3)."""
     def loss_fn(p):
         img = render_flat(merge(p, scene), cam, cfg, key, backend, bvh)
+        return jnp.mean((img - target) ** 2)
+
+    return jax.value_and_grad(loss_fn)(params)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend", "queue"))
+def loss_and_grad_wavefront(params, scene: Scene, cam, cfg: RenderConfig,
+                            key, target, bvh, backend: str = "cluster",
+                            queue: int = 1 << 14):
+    """Differentiable step through the PRODUCTION path (persistent-wavefront
+    scan + cluster intersector) on one device — BASELINE config 4 at real
+    sizes.  The wavefront scan is √steps-chunk rematerialized
+    (render/wavefront.py), so adjoint memory is O((√steps)·queue) and a
+    1024² grad render fits on a chip.  target: (n_pixels, 3)."""
+    from tpu_pt.render.wavefront import wavefront_accum
+
+    def loss_fn(p):
+        sc = merge(p, scene)
+        accum = wavefront_accum(sc, cam, cfg, key, bvh, queue, backend,
+                                0, cfg.n_pixels)
+        img = accum / cfg.spp
         return jnp.mean((img - target) ** 2)
 
     return jax.value_and_grad(loss_fn)(params)

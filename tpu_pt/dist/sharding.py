@@ -91,7 +91,9 @@ def render_sharded(scene: Scene, cam, cfg: RenderConfig, key, bvh, mesh: Mesh,
         return accum
 
     shard_ids = jnp.arange(n, dtype=jnp.int32)
-    accum = shard_render(scene, cam, bvh, shard_ids)
+    # jit the shard_map: eager shard_map can't evaluate the closed_call the
+    # remat-chunked scan introduces (and jit is the production mode anyway).
+    accum = jax.jit(shard_render)(scene, cam, bvh, shard_ids)
     img = (accum / cfg.spp)[: cfg.n_pixels]
     return img.reshape(cfg.height, cfg.width, 3)
 
@@ -125,7 +127,8 @@ def loss_and_grad_sharded(params, scene: Scene, cam, cfg: RenderConfig, key,
         def local_loss(p):
             sc = merge(p, scene_r)
             accum = wavefront_accum(
-                sc, cam_r, cfg, key, bvh_r, queue, backend, pix_lo, block
+                sc, cam_r, cfg, key, bvh_r, queue, backend, pix_lo, block,
+                psum_axis="tile",
             )
             img = accum / cfg.spp
             # Padding tail pixels (>= n_pixels) are masked out of the loss.
@@ -136,11 +139,19 @@ def loss_and_grad_sharded(params, scene: Scene, cam, cfg: RenderConfig, key,
 
         loss, grads = jax.value_and_grad(local_loss)(params_r)
         loss = jax.lax.psum(loss, "tile")
-        grads = jax.lax.psum(grads, "tile")
+        # NO tail psum of grads: every remat chunk psums its partial grads
+        # inside its backward (wavefront_accum psum_axis), overlapping the
+        # allreduce with the backward bounce sweep (BASELINE config 5).
         return loss, grads
 
-    shard_ids = jnp.arange(n, dtype=jnp.int32)
-    tgt = jnp.zeros((padded, 3), jnp.float32).at[: cfg.n_pixels].set(
-        target.reshape(-1, 3)
-    )
-    return step(params, scene, cam, bvh, tgt, shard_ids)
+    @jax.jit
+    def outer(params, scene, cam, bvh, target):
+        # Sharded operands (shard ids, padded target) are created INSIDE
+        # jit so they are global arrays in multi-process runs — host numpy
+        # inputs stay replicated, which every process can supply locally.
+        tgt = jnp.zeros((padded, 3), jnp.float32).at[: cfg.n_pixels].set(
+            target.reshape(-1, 3))
+        shard_ids = jnp.arange(n, dtype=jnp.int32)
+        return step(params, scene, cam, bvh, tgt, shard_ids)
+
+    return outer(params, scene, cam, bvh, target)

@@ -112,7 +112,10 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     base = 1 + st.depth * _STRIDE  # (Q,) per-lane draw base
 
     t_min = jnp.zeros((Q, 1), jnp.float32)
-    t_max = jnp.full((Q, 1), 1e30, jnp.float32)
+    # Dead lanes get t_max < t_min: every backend reports a trivial miss
+    # AND the pair-major cluster walk spawns no candidate pairs for them
+    # (budget + work proportional to LIVE lanes only).
+    t_max = jnp.where(st.alive, 1e30, -1.0)
     hit = intersect_fn(scene, st.ro, st.rd, t_min, t_max)
     si = shade_info(scene, st.ro, st.rd, hit)
     wo_world = -st.rd
@@ -157,7 +160,9 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
             shadow_o = si.p + si.ng * jnp.where(
                 dot(ls.wi, si.ng) > 0.0, cfg.eps, -cfg.eps
             )
-            occ = occluded_fn(scene, shadow_o, ls.wi, ls.dist * (1.0 - 1e-3))
+            # Masked lanes get a negative range: trivial miss, no pair work.
+            occ = occluded_fn(scene, shadow_o, ls.wi,
+                              jnp.where(mask, ls.dist * (1.0 - 1e-3), -1.0))
             w = f * ls.radiance * cos_s / (ls.pdf * ns)
             contrib = contrib + jnp.where(mask & ~occ, st.beta * w, 0.0)
 
@@ -207,10 +212,17 @@ def n_steps(cfg: RenderConfig, queue: int, n_pix: int = 0,
 def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
                     queue: int, backend: str, pix_lo, n_pix_local: int,
                     spp_lo=0, spp_count: int = 0, with_counts: bool = False,
-                    fast: bool = False):
+                    fast: bool = False, psum_axis: str | None = None):
     """Render pixels [pix_lo, pix_lo+n_pix_local) × samples
     [spp_lo, spp_lo+spp_count) -> (n_pix_local, 3) radiance sums (divide by
-    cfg.spp for the full-spp mean).  pix_lo/spp_lo may be traced."""
+    cfg.spp for the full-spp mean).  pix_lo/spp_lo may be traced.
+
+    psum_axis: when set (inside shard_map with that axis name), the scene
+    cotangent of EVERY remat chunk is psum'd inside that chunk's backward —
+    the collective is issued while earlier chunks' backward kernels still
+    run, which is the "grad allreduce overlapped with the backward bounce
+    sweep" of BASELINE.json config 5.  The caller must then NOT tail-psum
+    the parameter grads again."""
     from tpu_pt.render.driver import _intersectors
 
     spp_count = spp_count or cfg.spp
@@ -261,7 +273,58 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
         return _step(scene, cam, cfg, key, intersect_fn, occluded_fn, st,
                      pix_lo, n_pix_local, spp_lo, spp_count)
 
-    st, counts = jax.lax.scan(body, st, None, length=steps)
+    # Differentiable path: √steps-chunked scan with rematerialization.  A
+    # flat scan's adjoint stores EVERY carry (steps × (queue state + accum)
+    # — O(steps·Q) residuals, which is what kept r1's differentiable
+    # renders at toy sizes).  Chunking the scan and jax.checkpoint-ing each
+    # chunk keeps only chunk-boundary carries + one chunk's internals:
+    # O((steps/k + k)·Q) with k ≈ √steps.  Trailing steps beyond the budget
+    # bound are no-ops (nothing left to respawn, every lane dead), so
+    # padding steps to outer×inner changes nothing but wasted tail work.
+    if steps > 16 or psum_axis is not None:
+        inner = max(1, int(round(steps ** 0.5)))
+        outer = -(-steps // inner)
+
+        @jax.checkpoint
+        def chunk_fn(scene, st):
+            def body_c(st, _):
+                return _step(scene, cam, cfg, key, intersect_fn,
+                             occluded_fn, st, pix_lo, n_pix_local, spp_lo,
+                             spp_count)
+
+            return jax.lax.scan(body_c, st, None, length=inner)
+
+        if psum_axis is not None:
+            axis = psum_axis
+
+            @jax.custom_vjp
+            def chunk_call(scene, st):
+                return chunk_fn(scene, st)
+
+            def chunk_fwd(scene, st):
+                out, vjp = jax.vjp(chunk_fn, scene, st)
+                return out, vjp
+
+            def chunk_bwd(vjp, ct):
+                g_scene, g_st = vjp(ct)
+                # Reduce this chunk's parameter grads NOW, inside the
+                # backward sweep: the collective rides ICI while the next
+                # (earlier) chunk's backward kernels run.  Sum over chunks
+                # of per-chunk psums == tail psum of the sum (linearity).
+                g_scene = jax.tree.map(
+                    lambda g: g if g.dtype == jax.dtypes.float0
+                    else jax.lax.psum(g, axis), g_scene)
+                return g_scene, g_st
+
+            chunk_call.defvjp(chunk_fwd, chunk_bwd)
+        else:
+            chunk_call = chunk_fn
+
+        st, counts = jax.lax.scan(
+            lambda st, _: chunk_call(scene, st), st, None, length=outer)
+        counts = jax.tree.map(lambda c: c.reshape(-1), counts)
+    else:
+        st, counts = jax.lax.scan(body, st, None, length=steps)
     if with_counts:
         return st.accum, counts  # ((steps,) closest, (steps,) shadow)
     return st.accum

@@ -146,6 +146,7 @@ def load(path: str):
 
     # Geometry library: id -> list of (verts, tris, normals?, material symbol)
     geoms: Dict[str, list] = {}
+    sphere_geoms: Dict[str, list] = {}
     lib_g = _find(root, "library_geometries")
     for geom in _findall(lib_g, "geometry"):
         gid = geom.get("id")
@@ -187,19 +188,37 @@ def load(path: str):
                 continue
             idx = np.asarray(p_el.text.split(), dtype=np.int64).reshape(-1, stride)
             v_idx = idx[:, offsets["v"]]
+            n_idx = idx[:, offsets["n"]] if (nrm is not None
+                                             and "n" in offsets) else None
             if t == "polylist":
                 vcount = np.asarray(
                     _find(prim, "vcount").text.split(), dtype=np.int64
                 )
-                tri_v = []
+                tri_v, tri_n = [], []
                 c = 0
                 for n in vcount:
                     for k in range(1, n - 1):
                         tri_v += [v_idx[c], v_idx[c + k], v_idx[c + k + 1]]
+                        if n_idx is not None:
+                            tri_n += [n_idx[c], n_idx[c + k], n_idx[c + k + 1]]
                     c += n
                 v_idx = np.asarray(tri_v, np.int64)
-            prims.append((pos, v_idx.reshape(-1, 3), prim.get("material")))
+                n_idx = np.asarray(tri_n, np.int64) if n_idx is not None else None
+            prims.append((pos, v_idx.reshape(-1, 3),
+                          None if n_idx is None else (nrm, n_idx.reshape(-1, 3)),
+                          prim.get("material")))
+        # <sphere> primitives (reference: collada/sphere_info — the CMU462
+        # schema puts them directly under <geometry> or inside <extra>).
+        spheres = []
+        for sp in geom.iter(f"{_NS}sphere"):
+            r_attr = sp.get("radius")
+            if r_attr is None:
+                rf = _find(sp, "radius") or _find(sp, "float")
+                r_attr = rf.text if rf is not None else "1.0"
+            spheres.append(float(r_attr))
         geoms[gid] = prims
+        if spheres:
+            sphere_geoms[gid] = spheres
 
     # Cameras.
     cam_params = {}
@@ -231,8 +250,12 @@ def load(path: str):
 
     # Visual scene: walk nodes, instance geometry/cameras/lights.
     verts_out: List[np.ndarray] = []
+    norms_out: List[Optional[np.ndarray]] = []  # authored normals or None
     tris_out: List[np.ndarray] = []
     mats_out: List[np.ndarray] = []
+    sph_center_out: List[tuple] = []
+    sph_radius_out: List[float] = []
+    sph_mat_out: List[int] = []
     mat_rows: List[dict] = []
     mat_index: Dict[str, int] = {}
     light_rows: List[dict] = []
@@ -259,15 +282,52 @@ def load(path: str):
                 binds = {}
                 for im in el.iter(f"{_NS}instance_material"):
                     binds[im.get("symbol")] = (im.get("target") or "").lstrip("#")
-                for pos, tri_v, sym in geoms.get(gid, []):
+                for pos, tri_v, nrm_pair, sym in geoms.get(gid, []):
                     mid = mat_id_for(binds.get(sym, sym))
+                    if nrm_pair is not None:
+                        # Authored normals are per-CORNER (separate index);
+                        # split shared positions per unique (pos, nrm) pair
+                        # so Scene's per-vertex normal channel is exact
+                        # (SURVEY.md §2 row 3 "geometry+normals").
+                        nrm, tri_n = nrm_pair
+                        flat_v = tri_v.reshape(-1)
+                        flat_n = tri_n.reshape(-1)
+                        pairs = np.stack([flat_v, flat_n], axis=1)
+                        uniq, inv = np.unique(pairs, axis=0,
+                                              return_inverse=True)
+                        pos_u = pos[uniq[:, 0]]
+                        nrm_u = nrm[uniq[:, 1]]
+                        tri_v_local = inv.reshape(-1, 3)
+                    else:
+                        pos_u = pos
+                        nrm_u = None
+                        tri_v_local = tri_v
                     v_h = np.concatenate(
-                        [pos, np.ones((len(pos), 1))], axis=1
+                        [pos_u, np.ones((len(pos_u), 1))], axis=1
                     ) @ m.T
                     base = sum(len(v) for v in verts_out)
                     verts_out.append(v_h[:, :3].astype(np.float32))
-                    tris_out.append(tri_v.astype(np.int64) + base)
-                    mats_out.append(np.full(len(tri_v), mid, np.int32))
+                    if nrm_u is not None:
+                        # Normals transform by the inverse-transpose.
+                        nm = np.linalg.inv(m[:3, :3]).T
+                        n_w = nrm_u @ nm.T
+                        ln = np.linalg.norm(n_w, axis=1, keepdims=True)
+                        norms_out.append(
+                            (n_w / np.maximum(ln, 1e-20)).astype(np.float32))
+                    else:
+                        norms_out.append(None)
+                    tris_out.append(tri_v_local.astype(np.int64) + base)
+                    mats_out.append(np.full(len(tri_v_local), mid, np.int32))
+                for radius in sphere_geoms.get(gid, []):
+                    mid = mat_id_for(next(iter(binds.values()), None))
+                    center = (m @ np.array([0.0, 0.0, 0.0, 1.0]))[:3]
+                    # Isotropic scale assumed for spheres (reference
+                    # SphereObject has a single radius): use the mean
+                    # column scale of the linear part.
+                    s = float(np.mean(np.linalg.norm(m[:3, :3], axis=0)))
+                    sph_center_out.append(tuple(center))
+                    sph_radius_out.append(radius * s)
+                    sph_mat_out.append(mid)
             elif t == "instance_camera":
                 cam_pose = (m, (el.get("url") or "").lstrip("#"))
             elif t == "instance_light":
@@ -307,11 +367,32 @@ def load(path: str):
         for node in _findall(scene_el, "node"):
             walk(node, np.eye(4))
 
-    if not verts_out:
+    if not verts_out and not sph_center_out:
         raise ValueError(f"no geometry found in {path}")
-    vertices = np.concatenate(verts_out, axis=0)
-    tri_idx = np.concatenate(tris_out, axis=0).astype(np.int32)
-    tri_mat = np.concatenate(mats_out, axis=0)
+    if verts_out:
+        vertices = np.concatenate(verts_out, axis=0)
+        tri_idx = np.concatenate(tris_out, axis=0).astype(np.int32)
+        tri_mat = np.concatenate(mats_out, axis=0)
+    else:
+        vertices = np.zeros((0, 3), np.float32)
+        tri_idx = np.zeros((0, 3), np.int32)
+        tri_mat = np.zeros((0,), np.int32)
+
+    # Per-vertex normals: authored where present, area-weighted per chunk
+    # where the .dae ships none (reference PolymeshInfo behavior).
+    normals = None
+    if verts_out and any(n is not None for n in norms_out):
+        from tpu_pt.scene.types import _vertex_normals
+
+        parts = []
+        base = 0
+        for v, n, t in zip(verts_out, norms_out, tris_out):
+            if n is None:
+                local_t = (np.asarray(t) - base).astype(np.int32)
+                n = _vertex_normals(v, local_t)
+            parts.append(n)
+            base += len(v)
+        normals = np.concatenate(parts, axis=0).astype(np.float32)
 
     # Emissive triangles → LIGHT_TRI rows for next-event estimation.
     for row_id, row in enumerate(mat_rows):
@@ -329,10 +410,18 @@ def load(path: str):
                     normal=tuple(n / ln), radiance=row["emission"],
                 ))
 
+    if not mat_rows:
+        mat_rows.append(dict(kind=MAT_DIFFUSE, albedo=(0.7, 0.7, 0.7)))
     scene = make_scene(vertices, tri_idx, tri_mat,
-                       make_materials(mat_rows), make_lights(light_rows))
+                       make_materials(mat_rows), make_lights(light_rows),
+                       normals=normals,
+                       sph_center=sph_center_out or None,
+                       sph_radius=sph_radius_out or None,
+                       sph_mat=sph_mat_out or None)
 
-    lo, hi = vertices.min(axis=0), vertices.max(axis=0)
+    all_pts = vertices if len(vertices) else np.asarray(
+        sph_center_out, np.float32)
+    lo, hi = all_pts.min(axis=0), all_pts.max(axis=0)
     center = (lo + hi) / 2
     diag = float(np.linalg.norm(hi - lo))
 

@@ -18,6 +18,7 @@ from tpu_pt.scene.types import (
     LIGHT_AREA,
     MAT_DIFFUSE,
     MAT_EMISSIVE,
+    MAT_GGX,
     MAT_GLASS,
     MAT_MIRROR,
     Scene,
@@ -27,7 +28,8 @@ from tpu_pt.scene.types import (
 )
 
 # Material table rows (indices are stable — tests rely on them).
-M_WHITE, M_RED, M_GREEN, M_LIGHT, M_MIRROR, M_GLASS_ = 0, 1, 2, 3, 4, 5
+M_WHITE, M_RED, M_GREEN, M_LIGHT, M_MIRROR, M_GLASS_, M_GLOSSY = \
+    0, 1, 2, 3, 4, 5, 6
 
 _MATS = [
     dict(kind=MAT_DIFFUSE, albedo=(0.725, 0.710, 0.680)),   # white
@@ -36,6 +38,7 @@ _MATS = [
     dict(kind=MAT_EMISSIVE, albedo=(0, 0, 0), emission=(17.0, 12.0, 4.0)),
     dict(kind=MAT_MIRROR, albedo=(0.95, 0.95, 0.95)),
     dict(kind=MAT_GLASS, albedo=(0.98, 0.98, 0.98), ior=1.5),
+    dict(kind=MAT_GGX, albedo=(0.9, 0.6, 0.2), roughness=0.3),  # rough gold
 ]
 
 # Box: x ∈ [-1, 1], y ∈ [0, 2], z ∈ [-1, 1]; open toward +z (camera side).
@@ -94,6 +97,12 @@ def cornell(variant: str = "empty", mesh_subdiv: int = 3) -> Scene:
         sph_center = [(-0.45, 0.45, -0.35), (0.45, 0.45, 0.3)]
         sph_radius = [0.45, 0.45]
         sph_mat = [M_MIRROR, M_GLASS_]
+    elif variant == "glossy":
+        # CBspheres layout with a rough-GGX sphere in place of the mirror
+        # (exercises Materials.roughness end-to-end; golden + grad tests).
+        sph_center = [(-0.45, 0.45, -0.35), (0.45, 0.45, 0.3)]
+        sph_radius = [0.45, 0.45]
+        sph_mat = [M_GLOSSY, M_GLASS_]
     elif variant == "mesh":
         mv, mt = meshes.icosphere(subdiv=mesh_subdiv)
         mv = mv * 0.45 + np.array([-0.35, 0.45, -0.2], np.float32)

@@ -26,6 +26,7 @@ MAT_MIRROR = 1
 MAT_GLASS = 2
 MAT_REFRACT = 3
 MAT_EMISSIVE = 4
+MAT_GGX = 5  # rough conductor: GGX microfacet lobe driven by Materials.roughness
 
 # Light kinds (reference: AreaLight, PointLight, DirectionalLight,
 # InfiniteHemisphereLight — SURVEY.md §2 row 7).  LIGHT_TRI is the mesh-light
