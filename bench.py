@@ -15,7 +15,8 @@ SURVEY.md §6).  The driver records the output in BENCH_r{N}.json.
 
 Environment knobs:
   BENCH_BACKEND (default "cluster") cluster | packed | bvh
-  BENCH_SCENE   (default "big-1m")  big=327k tris, big-1m=1.3M tris
+  BENCH_SCENE   (default "big-1m")  big=327k tris, big-1m=1.3M tris,
+                                    atrium=1.04M-tri architectural interior
   BENCH_SIZE    (default 1024)      image side (config 3 headline = 1024)
   BENCH_SPP     (default 1)
   BENCH_QUEUE   (default 4096)
@@ -47,9 +48,15 @@ def main() -> None:
     spp = int(os.environ.get("BENCH_SPP", "1"))
     queue = int(os.environ.get("BENCH_QUEUE", str(1 << 12)))
 
-    subdiv = {"big": 7, "big-1m": 8}[scene_name]
-    scene = meshes.big_scene(subdiv=subdiv)  # host (numpy) pytree
-    cam = meshes.big_camera(size, size)
+    if scene_name == "atrium":
+        # Architectural interior (~1M tris): colonnades, coffered ceiling,
+        # skylight area lights — Sponza-class depth complexity.
+        scene = meshes.atrium_scene()  # host (numpy) pytree
+        cam = meshes.atrium_camera(size, size)
+    else:
+        subdiv = {"big": 7, "big-1m": 8}[scene_name]
+        scene = meshes.big_scene(subdiv=subdiv)  # host (numpy) pytree
+        cam = meshes.big_camera(size, size)
     cfg = RenderConfig(width=size, height=size, spp=spp, max_depth=4,
                        rr_start=2, rr_prob=0.7)
 

@@ -53,6 +53,55 @@ def test_no_pair_drops_on_bench_scene(bench_scene, mixed):
     assert int(n_live) > 0
 
 
+@pytest.mark.parametrize("mixed", [False, True])
+def test_no_truncation_compact_on_bench_scene(bench_scene, mixed):
+    """r2 production (compact) path: zero candidates truncated anywhere —
+    descent frontier caps, leaf lane cap, or flat pair budget — for the
+    bench camera + incoherent-ray population."""
+    scene, cb = bench_scene
+    Q = 4096
+    cam = meshes.big_camera(1024, 1024)
+    ro, rd = _rays(cam, Q, mixed=mixed)
+    t_min = jnp.zeros((Q, 1), jnp.float32)
+    t_max = jnp.full((Q, 1), 1e30, jnp.float32)
+    n_live, overflow = C.compact_stats(cb, ro, rd, t_min, t_max)
+    assert int(overflow) == 0, (int(n_live), int(overflow))
+    assert int(n_live) > 0
+
+
+def test_no_truncation_compact_on_atrium():
+    """Same contract on the architectural interior scene (high depth
+    complexity: colonnades + coffered ceiling), camera down the nave.
+
+    The atrium's depth complexity exceeds the grid-heuristic default caps
+    (by design — that is what makes it Sponza-class), so this exercises the
+    production recipe for a NEW scene: autotune_frontiers sizes the frontier
+    caps and the flat pair budget from measured per-level hit counts, and
+    the contract must then hold on a fresh ray population."""
+    scene = meshes.atrium_scene()
+    Q = 4096
+    cam = meshes.atrium_camera(1024, 1024)
+    ro_t, rd_t = _rays(cam, Q, mixed=True)
+    cb = jax.tree.map(jnp.asarray,
+                      C.autotune_frontiers(scene, ro_t, rd_t, slack=1.5))
+    # Fresh rays (different key) — caps must generalize, not memorize.
+    k1, k2, k3 = jax.random.split(jax.random.key(23), 3)
+    pix = jax.random.randint(k1, (Q,), 0, 1024 * 1024)
+    xy = pixel_xy(1024, 1024, pix, jnp.full((Q, 2), 0.5))
+    ro, rd = generate_rays(cam, xy)
+    h = Q // 2
+    ro_r = jax.random.uniform(k2, (h, 3), minval=-6, maxval=6)
+    rd_r = jax.random.normal(k3, (h, 3))
+    rd_r = rd_r / jnp.linalg.norm(rd_r, axis=-1, keepdims=True)
+    ro = jnp.concatenate([ro[:h], ro_r]).astype(jnp.float32)
+    rd = jnp.concatenate([rd[:h], rd_r]).astype(jnp.float32)
+    t_min = jnp.zeros((Q, 1), jnp.float32)
+    t_max = jnp.full((Q, 1), 1e30, jnp.float32)
+    n_live, overflow = C.compact_stats(cb, ro, rd, t_min, t_max)
+    assert int(overflow) == 0, (int(n_live), int(overflow))
+    assert int(n_live) > 0
+
+
 def test_budgets_cover_measured_live_pairs(bench_scene):
     """The shipped multipliers must exceed the measured live-pair load with
     >=1.5x headroom at the leaf (top/mid verified by dropped==0 above)."""

@@ -17,14 +17,25 @@ from tpu_pt.scene.types import (
 
 class TestEvalEnv:
     def test_direction_mapping(self):
-        # 2x4 map with distinct texels; +y must land in the top row.
+        # 2x4 map with distinct texels; +y must blend only top-row texels
+        # (bilinear filter clamps at the poles, wraps in phi).
         env = np.arange(2 * 4 * 3, dtype=np.float32).reshape(2, 4, 3)
         up = jnp.asarray([[0.0, 1.0, 0.0]])
         down = jnp.asarray([[0.0, -1.0, 0.0]])
         v_up = np.asarray(eval_env(jnp.asarray(env), up))[0]
         v_dn = np.asarray(eval_env(jnp.asarray(env), down))[0]
-        assert (v_up == env[0]).all(axis=-1).any()
-        assert (v_dn == env[1]).all(axis=-1).any()
+        assert (env[0].min(0) <= v_up).all() and (v_up <= env[0].max(0)).all()
+        assert (env[1].min(0) <= v_dn).all() and (v_dn <= env[1].max(0)).all()
+
+    def test_bilinear_interpolates_between_texels(self):
+        # Constant-per-row map: any direction in a row's band returns that
+        # row's value exactly; a direction at the row boundary blends 50/50.
+        env = np.zeros((2, 4, 3), np.float32)
+        env[0] = 1.0
+        env[1] = 3.0
+        equator = jnp.asarray([[1.0, 0.0, 0.0]])  # theta=pi/2: y=0.5 exactly
+        v = np.asarray(eval_env(jnp.asarray(env), equator))[0]
+        np.testing.assert_allclose(v, 2.0, rtol=1e-6)
 
     def test_gradient_sky_shape(self):
         sky = gradient_sky(h=16, w=32, scale=2.0)
@@ -84,3 +95,94 @@ class TestEnvRender:
         cfg = RenderConfig(width=6, height=6, spp=1, direct_only=True)
         img = render(scene, cam, cfg, jax.random.key(2), backend="brute")
         assert img[-1].max() == 0.0  # pure sky rows are black
+
+
+class TestEnvImportanceSampling:
+    """VERDICT r1 item 7: luminance-CDF sampling of LIGHT_ENV."""
+
+    def _hdr_map(self):
+        # Dim sky with one very bright "sun" texel: the case uniform-sphere
+        # sampling is bad at and importance sampling must nail.
+        env = np.full((8, 16, 3), 0.05, np.float32)
+        env[2, 5] = (400.0, 380.0, 350.0)
+        return env
+
+    def test_sampler_matches_pmf_chi_square(self):
+        from tpu_pt.render.envmap import build_env_tables, env_pdf, sample_env
+
+        env = self._hdr_map()
+        marg, cond = build_env_tables(env)
+        n = 200_000
+        u = jax.random.uniform(jax.random.key(3), (n, 2))
+        d, pdf = sample_env(jnp.asarray(marg), jnp.asarray(cond), u)
+        d = np.asarray(d)
+        # Bin sampled directions back to texels via the eval_env mapping.
+        phi = np.arctan2(d[:, 0], -d[:, 2])
+        theta = np.arccos(np.clip(d[:, 1], -1, 1))
+        xi = np.clip(((phi / (2 * np.pi) + 0.5) % 1.0 * 16).astype(int), 0, 15)
+        yi = np.clip((theta / np.pi * 8).astype(int), 0, 7)
+        counts = np.zeros((8, 16))
+        np.add.at(counts, (yi, xi), 1.0)
+        lum = env @ np.asarray([0.2126, 0.7152, 0.0722])
+        # Same 3x3 blur as build_env_tables (covers the bilinear tent).
+        pad = np.concatenate([lum[:1], lum, lum[-1:]], 0)
+        pad = np.concatenate([pad[:, -1:], pad, pad[:, :1]], 1)
+        lum = sum(pad[dy:dy + 8, dx:dx + 16]
+                  for dy in range(3) for dx in range(3)) / 9.0
+        sin_t = np.sin((np.arange(8) + 0.5) / 8 * np.pi)
+        pmf = lum * sin_t[:, None]
+        pmf /= pmf.sum()
+        expected = pmf * n
+        # Chi-square over texels with expected >= 5.
+        m = expected >= 5
+        chi2 = (((counts - expected) ** 2)[m] / expected[m]).sum()
+        dof = int(m.sum()) - 1
+        assert chi2 < dof + 5 * np.sqrt(2 * dof), (chi2, dof)
+        # And the reported pdf matches env_pdf at the sampled directions
+        # (float rounding can re-bin a sample sitting exactly on a texel
+        # boundary, so require agreement for 99.9% of samples).
+        pdf2 = np.asarray(env_pdf(jnp.asarray(marg), jnp.asarray(cond),
+                                  jnp.asarray(d)))
+        agree = np.isclose(np.asarray(pdf), pdf2, rtol=1e-3).mean()
+        assert agree > 0.999, agree
+
+    def test_unbiased_and_lower_variance_than_uniform(self):
+        from tpu_pt.core.sampling import uniform_sphere
+        from tpu_pt.render.envmap import (
+            build_env_tables, eval_env, sample_env,
+        )
+
+        env = jnp.asarray(self._hdr_map())
+        marg, cond = build_env_tables(np.asarray(env))
+        n = 100_000
+        u = jax.random.uniform(jax.random.key(5), (n, 2))
+        # Ground truth: dense quadrature of the BILINEARLY-FILTERED map
+        # (what eval_env actually returns) over the sphere.
+        hq, wq = 256, 512
+        vq = (np.arange(hq) + 0.5) / hq
+        uq = (np.arange(wq) + 0.5) / wq
+        thq = vq * np.pi
+        phq = (uq - 0.5) * 2 * np.pi
+        st = np.sin(thq)[:, None]
+        dq = np.stack(
+            np.broadcast_arrays(st * np.sin(phq)[None, :],
+                                np.cos(thq)[:, None] + 0 * phq[None, :],
+                                -st * np.cos(phq)[None, :]), -1)
+        Lq = np.asarray(eval_env(env, jnp.asarray(dq, jnp.float32)))
+        omega = (np.pi / hq) * (2 * np.pi / wq) * st
+        truth = (Lq * omega[:, :, None]).sum((0, 1))
+
+        d_i, pdf_i = sample_env(jnp.asarray(marg), jnp.asarray(cond), u)
+        f_i = np.asarray(eval_env(env, d_i) / pdf_i)
+        est_i = f_i.mean(0)
+
+        d_u, pdf_u = uniform_sphere(u)
+        # local z -> world +y (same convention as sample_light's wi_h)
+        d_u = jnp.stack([d_u[..., 0], d_u[..., 2], d_u[..., 1]], axis=-1)
+        f_u = np.asarray(eval_env(env, d_u) / pdf_u)
+        est_u = f_u.mean(0)
+
+        np.testing.assert_allclose(est_i, truth, rtol=0.05)
+        np.testing.assert_allclose(est_u, truth, rtol=0.6)  # noisy
+        assert f_i.std(0).max() < 0.35 * f_u.std(0).max(), (
+            f_i.std(0).max(), f_u.std(0).max())

@@ -130,6 +130,54 @@ def main():
     dt = timed_loop(s_occl, ro, rd, iters)
     print(f"occluded:       {dt*1e3:8.3f} ms/iter")
 
+    # ---- r2 compact path ----
+    def s_descend_compact(ro, rd):
+        cand, live, ovf = C._descend_compact(cb_d, ro, 1.0 / rd,
+                                             t_min, t_max)
+        return jnp.sum(live.astype(jnp.float32)) + 1e-9 * jnp.sum(
+            cand.astype(jnp.float32))
+
+    dt = timed_loop(s_descend_compact, ro, rd, iters)
+    print(f"descend compact:{dt*1e3:8.3f} ms/iter")
+
+    def s_traverse_compact(ro, rd):
+        bt, g, u, v = C._traverse_compact(cb_d, ro, rd, t_min, t_max)
+        return jnp.sum(jnp.where(bt < C.INF, bt, 0.0))
+
+    dt = timed_loop(s_traverse_compact, ro, rd, iters)
+    print(f"traverse compact:{dt*1e3:7.3f} ms/iter")
+
+    def s_anyhit_compact(ro, rd):
+        occ = C._traverse_compact_anyhit(cb_d, ro, rd, t_min, t_max)
+        return jnp.sum(occ.astype(jnp.float32))
+
+    dt = timed_loop(s_anyhit_compact, ro, rd, iters)
+    print(f"anyhit compact: {dt*1e3:8.3f} ms/iter")
+
+    budget = cb.pair_mults[2] * Q
+    cand_c, live_c, _ = jax.jit(
+        lambda ro, rd: C._descend_compact(cb_d, ro, 1.0 / rd, t_min,
+                                          t_max))(ro, rd)
+    rayP, cidP, _ = jax.jit(
+        lambda c, l: C._flat_pairs(c, l, Q, budget))(cand_c, live_c)
+
+    def s_flat_pairs(ro, rd):
+        rp, cp, d = C._flat_pairs(cand_c, live_c, Q, budget)
+        return jnp.sum(rp.astype(jnp.float32)) * 1e-9
+
+    dt = timed_loop(s_flat_pairs, ro, rd, iters)
+    print(f"flat_pairs sort:{dt*1e3:8.3f} ms/iter  ({Q * cb.k_leaf} keys)")
+
+    def s_pairs_flat(ro, rd):
+        t_p, u, v, g = C._test_pair_batch(
+            cb_d, ro, rd, t_min[:, 0], t_max[:, 0],
+            jnp.minimum(rayP, Q - 1), cidP, rayP < Q)
+        return jnp.sum(jnp.where(t_p < C.INF, t_p, 0.0))
+
+    dt = timed_loop(s_pairs_flat, ro, rd, iters)
+    print(f"pairs flat:     {dt*1e3:8.3f} ms/iter  P={budget} "
+          f"({budget*6/1024:.0f} MB tiles)")
+
     # Isolated sorts at descent shapes.
     for n in [cb.levels[0].shape[0], cb.frontiers[0] * 8, cb.frontiers[1] * 8]:
         keys0 = jax.random.uniform(jax.random.key(1), (Q, n), jnp.float32)

@@ -203,7 +203,8 @@ def build_cluster_bvh(scene: Scene, tile: int = TILE,
                       frontiers: Sequence[int] | None = None,
                       k_leaf: int | None = None,
                       pair_budget: int | None = None,
-                      dense_start: int = 512) -> ClusterBVH:
+                      dense_start: int = 512,
+                      pair_mults: Sequence[int] | None = None) -> ClusterBVH:
     """Host build: SAH leaves (<=tile prims) -> padded tile tensor +
     implicit 8-ary AABB pyramid (all numpy; upload via device_put).
     Uses the native C++ SAH builder when present (10x host build speed)."""
@@ -268,6 +269,9 @@ def build_cluster_bvh(scene: Scene, tile: int = TILE,
     # Small by design: rounds 2+ of the best-t-feedback loop make any
     # budget exact, so this only tunes round-1 hit rate vs wasted tests.
     pair_budget = pair_budget or min(k_leaf, 4)
+    if pair_mults is not None:
+        return ClusterBVH(levels, tiles, gid, tuple(frontiers), int(k_leaf),
+                          int(pair_budget), pair_mults=tuple(pair_mults))
     return ClusterBVH(levels, tiles, gid, tuple(frontiers), int(k_leaf),
                       int(pair_budget))
 
@@ -857,11 +861,171 @@ def _traverse_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max):
     return occ
 
 
-# Traversal mode: "frontier" (r1 per-ray frontier walk + any-hit shadows —
-# current production) or "pairs" (pair-major walk, exact and tested but
-# still slower at the 1.3M bench — see tools/microbench_pairs.py; kept as
-# the optimization target).
-TRAVERSAL_MODE = "frontier"
+# ---------------------------------------------------------------------------
+# Sort-free compaction traversal (r2 production).
+#
+# Stage profiling on the 1.3M-tri bench (tools/profile_stages.py, TPU v5e,
+# Q=4096) showed the r1 frontier walk spends 2.45 ms of its 3.42 ms descent
+# in three per-ray LANE SORTS (bf16 key + i32 payload at (Q,233)/(Q,184)/
+# (Q,304)), plus ~2 ms in the best-t feedback while_loop — while the tile
+# gather + dense MT pair stage costs only 0.84 ms.  Sorting was only ever
+# needed for (a) keeping the NEAREST candidates under truncation and (b)
+# making best-t pruning exact; if the leaf stage simply tests EVERY live
+# candidate (measured ~2 candidates/ray — one flat batch), neither needs
+# ORDER, only COMPACTION.  1-bit compaction is sort-free: an inclusive
+# cumsum ranks the live lanes and a fused one-hot reduction places them —
+# dense (Q, N, cap) VPU math, no gathers, no comparator passes.
+# ---------------------------------------------------------------------------
+
+
+def _compact_lanes(live, idx, cap: int):
+    """Stable 1-bit lane compaction: move live lanes to the front.
+
+    live: (Q, N) bool; idx: (Q, N) i32 payload; cap: static output width.
+    Returns (idx_c (Q, cap) i32, live_c (Q, cap) bool, overflow (Q,) i32 —
+    live lanes beyond cap, dropped).  out[q, j] = idx of the (j+1)-th live
+    lane, via out[q, j] = sum_i idx[q, i] * [rank[q, i] == j+1]; the
+    (Q, N, cap) one-hot product fuses into the reduction (never
+    materialized), costing ~N*cap VPU mult-adds per ray — measured well
+    under the lane sorts it replaces."""
+    n = live.shape[1]
+    cap = min(cap, n)
+    rank = jnp.cumsum(live.astype(jnp.int32), axis=1)      # (Q, N) inclusive
+    total = rank[:, -1]
+    onehot = (live & (rank <= cap))[:, :, None] & (
+        rank[:, :, None] == jnp.arange(1, cap + 1, dtype=jnp.int32)[None, None, :])
+    idx_c = jnp.sum(jnp.where(onehot, idx[:, :, None], 0), axis=1)
+    live_c = jnp.arange(cap, dtype=jnp.int32)[None, :] < total[:, None]
+    return idx_c, live_c, jnp.maximum(total - cap, 0)
+
+
+def _descend_compact(cb: ClusterBVH, ro, rd_inv, t_min, t_max):
+    """Sort-free frontier descent.  Returns (cand (Q, K) i32 cluster ids,
+    live (Q, K) bool, overflow (Q,) i32 live candidates truncated at any
+    level).  Candidates are lane-compacted but UNORDERED by t — the compact
+    traversal tests all of them, so order is irrelevant."""
+    Q = ro.shape[0]
+    levels = cb.levels
+    caps = cb.frontiers
+    ro_b = ro[:, None, :]
+    ri_b = rd_inv[:, None, :]
+
+    top = levels[0]
+    te = _slab(top[None, :, 0:3], top[None, :, 3:6], ro_b, ri_b,
+               t_min, t_max)                               # (Q, N0)
+    idx0 = jnp.broadcast_to(
+        jnp.arange(top.shape[0], dtype=jnp.int32)[None, :], te.shape)
+    cand, live, overflow = _compact_lanes(te < INF, idx0, caps[0])
+
+    for l in range(1, len(levels)):
+        src = cb.levels16[l] if GATHER_BF16 else levels[l]
+        child = src.reshape(-1, 64)  # flat rows gather 2.6x faster on v5e
+        blk = child[jnp.clip(cand, 0, child.shape[0] - 1)].astype(
+            jnp.float32).reshape(cand.shape + (8, 8))
+        tc = _slab(blk[..., 0:3], blk[..., 3:6], ro_b[:, :, None, :],
+                   ri_b[:, :, None, :], t_min[..., None], t_max[..., None])
+        live_c = (tc < INF) & live[..., None]
+        cidx = cand[..., None] * 8 + jnp.arange(8, dtype=jnp.int32)
+        cap = cb.k_leaf if l == len(levels) - 1 else caps[l]
+        cand, live, ovf = _compact_lanes(
+            live_c.reshape(Q, -1), cidx.reshape(Q, -1), cap)
+        overflow = overflow + ovf
+    return cand, live, overflow
+
+
+def _flat_pairs(cand, live, Q: int, budget: int):
+    """(Q, K) compacted candidates -> ray-sorted flat pair list.
+    Returns (rayP (budget,), cidP (budget,), dropped scalar)."""
+    arq = jnp.arange(Q, dtype=jnp.int32)
+    key = jnp.where(live, arq[:, None], Q)
+    return _flatten_live(key.reshape(-1), cand.reshape(-1), budget, Q)
+
+
+def _reduce_pairs_closest(cb, ro, rd, t_min1, t_max1, rayP, cidP):
+    """Tile-test a ray-sorted pair list and reduce to per-ray nearest.
+    Exact: every pair is tested.  Returns (best_t (Q,), gid, u, v)."""
+    Q = ro.shape[0]
+    P = rayP.shape[0]
+    pair_ok = rayP < Q
+    rayPc = jnp.minimum(rayP, Q - 1)
+    t_p, u_p, v_p, g_p = _test_pair_batch(
+        cb, ro, rd, t_min1, t_max1, rayPc, cidP, pair_ok)
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), rayPc[1:] != rayPc[:-1]])
+    mt, mi = _seg_min(t_p, seg_start)
+    arq = jnp.arange(Q, dtype=jnp.int32)
+    left = jnp.searchsorted(rayP, arq, side="left")
+    right = jnp.searchsorted(rayP, arq, side="right")
+    has = right > left
+    endpos = jnp.clip(right - 1, 0, P - 1)
+    best_t = jnp.where(has, mt[endpos], INF)
+    bi = mi[endpos]
+    best_u = jnp.where(has, u_p[bi], 0.0)
+    best_v = jnp.where(has, v_p[bi], 0.0)
+    best_g = jnp.where(has, g_p[bi], 0)
+    return best_t, best_g, best_u, best_v
+
+
+def _traverse_compact(cb: ClusterBVH, ro, rd, t_min, t_max):
+    """Closest hit: sort-free descent + one flat all-candidates pair batch
+    + segmented min.  No while_loop, no best-t feedback — exact because
+    every live candidate is tested.  Returns (best_t (Q,1), gid, u, v)."""
+    Q = ro.shape[0]
+    t_min1 = t_min[:, 0]
+    t_max1 = t_max[:, 0]
+    cand, live, _ = _descend_compact(cb, ro, 1.0 / rd, t_min1[:, None],
+                                     t_max1[:, None])
+    budget = cb.pair_mults[2] * Q
+    rayP, cidP, _ = _flat_pairs(cand, live, Q, budget)
+    best_t, best_g, best_u, best_v = _reduce_pairs_closest(
+        cb, ro, rd, t_min1, t_max1, rayP, cidP)
+    return best_t[:, None], best_g, best_u[:, None], best_v[:, None]
+
+
+def _traverse_compact_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max):
+    """Occlusion: any tested pair with a hit in range occludes its ray."""
+    Q = ro.shape[0]
+    t_min1 = t_min[:, 0]
+    t_max1 = t_max[:, 0]
+    cand, live, _ = _descend_compact(cb, ro, 1.0 / rd, t_min1[:, None],
+                                     t_max1[:, None])
+    budget = cb.pair_mults[2] * Q
+    rayP, cidP, _ = _flat_pairs(cand, live, Q, budget)
+    pair_ok = rayP < Q
+    rayPc = jnp.minimum(rayP, Q - 1)
+    t_p, _, _, _ = _test_pair_batch(
+        cb, ro, rd, t_min1, t_max1, rayPc, cidP, pair_ok)
+    hit_pair = ((t_p < INF) & pair_ok).astype(jnp.int32)
+    return jnp.zeros((Q,), jnp.int32).at[rayPc].add(hit_pair,
+                                                    mode="drop") > 0
+
+
+def compact_stats(cb: ClusterBVH, ro, rd, t_min, t_max):
+    """Observability for the compact path (capacity contract, r2 form).
+
+    Returns (n_live_pairs, n_overflow) where n_overflow counts candidates
+    truncated ANYWHERE: descent frontier caps (including the k_leaf lane
+    cap) plus flat-pair-budget drops.  The compact traversal is exact iff
+    n_overflow == 0 for the scene/ray population — asserted in CI on the
+    bench scenes (tests/test_cluster.py)."""
+    cb = jax.tree.map(jnp.asarray, cb)
+    t_min1 = t_min[:, 0] if t_min.ndim == 2 else t_min
+    t_max1 = t_max[:, 0] if t_max.ndim == 2 else t_max
+    Q = ro.shape[0]
+    cand, live, overflow = _descend_compact(
+        cb, ro, 1.0 / rd, t_min1[:, None], t_max1[:, None])
+    budget = cb.pair_mults[2] * Q
+    rayP, _, dropped = _flat_pairs(cand, live, Q, budget)
+    n_live = jnp.sum((rayP < Q).astype(jnp.int32))
+    return n_live, jnp.sum(overflow) + dropped
+
+
+# Traversal mode: "compact" (r2 production: sort-free mask-compaction
+# descent + one flat all-candidates pair batch), "frontier" (r1 per-ray
+# t-sorted frontier + best-t feedback rounds) or "pairs" (flat pair-major
+# walk — 1-D sorts at every level).  Measured on the 1.3M-tri bench
+# (tools/profile_stages.py).
+TRAVERSAL_MODE = "compact"
 
 # Gather the descent's child AABBs from the bf16 outward-rounded tables
 # (half the block-gather bytes; candidate selection stays exact because
@@ -872,7 +1036,9 @@ GATHER_BF16 = True
 def intersect(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max) -> Hit:
     cb = jax.tree.map(jnp.asarray, cb)
     t_max_b = jnp.broadcast_to(t_max, (ro.shape[0], 1))
-    if TRAVERSAL_MODE == "pairs":
+    if TRAVERSAL_MODE == "compact":
+        best_t, gid, u, v = _traverse_compact(cb, ro, rd, t_min, t_max_b)
+    elif TRAVERSAL_MODE == "pairs":
         best_t, gid, u, v = _traverse_pairs(cb, ro, rd, t_min, t_max_b)
     else:
         best_t, gid, u, v = _traverse(cb, scene, ro, rd, t_min, t_max_b)
@@ -885,6 +1051,8 @@ def occluded(cb: ClusterBVH, scene: Scene, ro, rd, t_max):
     cb = jax.tree.map(jnp.asarray, cb)
     t_min = jnp.zeros((ro.shape[0], 1), jnp.float32)
     t_max = jnp.broadcast_to(t_max, (ro.shape[0], 1))
+    if TRAVERSAL_MODE == "compact":
+        return _traverse_compact_anyhit(cb, ro, rd, t_min, t_max)[:, None]
     if TRAVERSAL_MODE == "pairs":
         return _traverse_pairs_anyhit(cb, ro, rd, t_min, t_max)[:, None]
     return _traverse_anyhit(cb, ro, rd, t_min, t_max)[:, None]
@@ -930,9 +1098,40 @@ def autotune_frontiers(scene: Scene, ro, rd, slack: float = 1.5,
     for l, lv in enumerate(cb.levels):
         need = int(counts[:, l].max())
         caps.append(int(min(lv.shape[0], max(8, round(need * slack)))))
+    # The compact path's flat pair budget is SHARED across the batch
+    # (pair_mults[-1] x Q slots), so it is sized from the measured MEAN
+    # cluster hits per ray, not the max.
+    mean_leaf = float(counts[:, -1].mean())
+    leaf_mult = max(4, int(np.ceil(mean_leaf * slack)))
+    pair_mults = (8, 8, leaf_mult)
     return build_cluster_bvh(scene, tile=tile, frontiers=tuple(caps),
                              k_leaf=caps[-1], pair_budget=pair_budget,
-                             dense_start=dense_start)
+                             dense_start=dense_start, pair_mults=pair_mults)
+
+
+def autotune_for_camera(scene: Scene, cam, width: int, height: int,
+                        n: int = 2048, slack: float = 1.5,
+                        pair_budget: int | None = None,
+                        seed: int = 7) -> ClusterBVH:
+    """autotune_frontiers with the standard sample-ray recipe: n camera
+    rays through random pixels + n random interior rays (bounce stand-ins),
+    the same population bench.py and the CLI --autotune flag use."""
+    from tpu_pt.core.camera import generate_rays, pixel_xy
+
+    lo = np.asarray(scene.vertices, np.float32).min(0)
+    hi = np.asarray(scene.vertices, np.float32).max(0)
+    k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+    pix = jax.random.randint(k1, (n,), 0, width * height)
+    xy = pixel_xy(width, height, pix, jnp.full((n, 2), 0.5))
+    ro_c, rd_c = generate_rays(cam, xy)
+    ro_r = jax.random.uniform(k2, (n, 3), minval=jnp.asarray(lo),
+                              maxval=jnp.asarray(hi))
+    rd_r = jax.random.normal(k3, (n, 3))
+    rd_r = rd_r / jnp.linalg.norm(rd_r, axis=-1, keepdims=True)
+    ro_s = jnp.concatenate([ro_c, ro_r]).astype(jnp.float32)
+    rd_s = jnp.concatenate([rd_c, rd_r]).astype(jnp.float32)
+    return autotune_frontiers(scene, ro_s, rd_s, slack=slack,
+                              pair_budget=pair_budget)
 
 
 def candidate_stats(cb: ClusterBVH, ro, rd, t_min, t_max):

@@ -32,6 +32,7 @@ def _load_scene(name: str):
         "cornell-mesh": lambda: (cornell.cornell("mesh"), cornell.camera),
         "big": lambda: (meshes.big_scene(subdiv=7), meshes.big_camera),
         "big-1m": lambda: (meshes.big_scene(subdiv=8), meshes.big_camera),
+        "atrium": lambda: (meshes.atrium_scene(), meshes.atrium_camera),
     }
     if name in builtin:
         return builtin[name]()
@@ -85,6 +86,14 @@ def cmd_render(args) -> int:
 
                 scene = jax.device_put(scene)
                 bvh = jax.jit(build_cluster_device)(scene)
+            elif args.autotune:
+                # Frontier caps + pair budget sized from measured hit
+                # counts of camera + interior sample rays — the capacity
+                # recipe for scenes denser than the grid-heuristic default
+                # (e.g. the atrium interior).
+                from tpu_pt.bvh.cluster import autotune_for_camera
+
+                bvh = autotune_for_camera(scene, cam, cfg.width, cfg.height)
             else:
                 from tpu_pt.bvh.cluster import build_cluster_bvh
 
@@ -211,6 +220,9 @@ def main(argv=None) -> int:
                     help="wavefront queue size (lanes)")
     pr.add_argument("--bvh", choices=["sah", "lbvh"], default="sah",
                     help="BVH build: host SAH (native/C++) or device LBVH")
+    pr.add_argument("--autotune", action="store_true",
+                    help="size cluster frontier caps + pair budget from "
+                         "measured hit counts (use for dense interiors)")
     pr.set_defaults(fn=cmd_render)
 
     pb = sub.add_parser("dump-bvh", help="print BVH structure stats")

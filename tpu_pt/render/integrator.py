@@ -148,8 +148,9 @@ def radiance(
         for li in range(n_lights):
             for s in range(ns_samples):
                 u = draws(key, ray_ids, base + _LIGHT0 + li * ns_samples + s, 2)
-                ls = lights_mod.sample_light(scene.lights, li, si.p, u,
-                                             env_map=scene.env_map)
+                ls = lights_mod.sample_light(
+                    scene.lights, li, si.p, u, env_map=scene.env_map,
+                    env_tables=(scene.env_marg_cdf, scene.env_cond_cdf))
                 wi_l = to_local(ls.wi, tb, bb, si.ns)
                 f = bsdf_mod.eval_f(si.mat, wo, wi_l)
                 cos_s = jnp.maximum(wi_l[..., 2:3], 0.0)

@@ -28,11 +28,13 @@ class LightSample(NamedTuple):
     delta: jnp.ndarray     # (R, 1) bool — delta light (point/directional)
 
 
-def sample_light(lights, li: int, p, u, env_map=None):
+def sample_light(lights, li: int, p, u, env_map=None, env_tables=None):
     """Sample light row ``li`` from shading points p (R,3) with uniforms
     u (R,2).  Static per-light unroll keeps the select tree tiny.
-    LIGHT_ENV rows sample the uniform sphere and evaluate ``env_map`` along
-    the sampled direction (reference: EnvironmentLight::sample_L)."""
+    LIGHT_ENV rows importance-sample the map's luminance CDF tables when
+    ``env_tables=(marg_cdf, cond_cdf)`` is given (reference:
+    EnvironmentLight::sample_L importance-sampled its .exr), else fall back
+    to the uniform sphere (unbiased either way — pdf rides along)."""
     kind = lights.kind[li]
     pos = lights.position[li]
     ex = lights.edge_x[li]
@@ -85,6 +87,12 @@ def sample_light(lights, li: int, p, u, env_map=None):
     pdf_h = jnp.where(is_env, pdf_sph, pdf_hemi)
     # local z -> world +y (the reference's hemisphere light is about world up)
     wi_h = jnp.stack([d_inf[..., 0], d_inf[..., 2], d_inf[..., 1]], axis=-1)
+    if env_tables is not None:
+        from tpu_pt.render.envmap import sample_env
+
+        d_env, pdf_env = sample_env(env_tables[0], env_tables[1], u)
+        wi_h = jnp.where(is_env, d_env, wi_h)
+        pdf_h = jnp.where(is_env, pdf_env, pdf_h)
     if env_map is not None:
         from tpu_pt.render.envmap import eval_env
 

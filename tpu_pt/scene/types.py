@@ -73,6 +73,8 @@ class Scene(NamedTuple):
     materials: Materials
     lights: Lights
     env_map: jnp.ndarray      # (He, We, 3) f32 lat-long radiance; (1,1,3) zeros = none
+    env_marg_cdf: jnp.ndarray  # (He,) f32 row CDF of luminance*sin(theta) (env NEE importance sampling)
+    env_cond_cdf: jnp.ndarray  # (He, We) f32 per-row column CDF
 
     @property
     def n_tris(self) -> int:
@@ -154,6 +156,11 @@ def make_scene(vertices, tri_idx, tri_mat, materials: Materials,
         sph_center = np.full((1, 3), 1e8, np.float32)
         sph_radius = np.zeros((1,), np.float32)
         sph_mat = np.zeros((1,), np.int32)
+    from tpu_pt.render.envmap import build_env_tables
+
+    env = (np.zeros((1, 1, 3), np.float32) if env_map is None
+           else np.asarray(env_map, np.float32))
+    marg_cdf, cond_cdf = build_env_tables(env)
     return Scene(
         vertices=vertices,
         normals=normals,
@@ -164,8 +171,9 @@ def make_scene(vertices, tri_idx, tri_mat, materials: Materials,
         sph_mat=np.asarray(sph_mat, np.int32).reshape(-1),
         materials=materials,
         lights=lights,
-        env_map=(np.zeros((1, 1, 3), np.float32) if env_map is None
-                 else np.asarray(env_map, np.float32)),
+        env_map=env,
+        env_marg_cdf=marg_cdf,
+        env_cond_cdf=cond_cdf,
     )
 
 
