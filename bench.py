@@ -21,6 +21,10 @@ Environment knobs:
   BENCH_SPP     (default 1)
   BENCH_QUEUE   (default 4096)
   BENCH_BVH     (default "sah")     sah (host native) | lbvh (device build)
+  BENCH_GRAD=1  measure the DIFFERENTIABLE step instead (forward wavefront
+                render + adjoint sweep + parameter grads, BASELINE config 4);
+                reports grad_rays_per_s = path segments / (fwd+bwd seconds).
+                Default size drops to 256 unless BENCH_SIZE is set.
 """
 
 from __future__ import annotations
@@ -37,6 +41,7 @@ BASELINE_RAYS_PER_S = 330628.0  # r1: cluster backend, big-1m 1024^2 spp1 d4 q40
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from tpu_pt.config import RenderConfig
@@ -44,7 +49,8 @@ def main() -> None:
     from tpu_pt.scene import meshes
 
     scene_name = os.environ.get("BENCH_SCENE", "big-1m")
-    size = int(os.environ.get("BENCH_SIZE", "1024"))
+    grad_mode = bool(os.environ.get("BENCH_GRAD"))
+    size = int(os.environ.get("BENCH_SIZE", "256" if grad_mode else "1024"))
     spp = int(os.environ.get("BENCH_SPP", "1"))
     queue = int(os.environ.get("BENCH_QUEUE", str(1 << 12)))
 
@@ -116,6 +122,55 @@ def main() -> None:
     scene_d = jax.device_put(scene)
     packed_d = jax.device_put(packed)
     key = jax.random.key(0)
+
+    if grad_mode:
+        # BASELINE config 4: the differentiable step through the production
+        # path (remat-chunked wavefront scan + cluster intersector).
+        from tpu_pt.diff.adjoint import loss_and_grad_wavefront
+        from tpu_pt.diff.params import split
+
+        params, _ = split(scene_d)
+        target = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+
+        # Measured forward path-segment counts (same accounting as the
+        # forward bench); the adjoint revisits every segment.
+        _, nc, ns_ = render_wavefront_counts(
+            scene_d, cam, cfg, key, packed_d, queue=queue, backend=backend)
+        n_closest = float(np.asarray(nc))
+        n_shadow = float(np.asarray(ns_))
+
+        def run_grad(k):
+            loss, grads = loss_and_grad_wavefront(
+                params, scene_d, cam, cfg, k, target, packed_d,
+                backend=backend, queue=queue)
+            # Sync by fetching the loss + one grad scalar.
+            return (float(np.asarray(loss)),
+                    float(np.asarray(grads["albedo"]).ravel()[0]))
+
+        t0 = time.time()
+        run_grad(key)
+        t_compile_run = time.time() - t0
+        t0 = time.time()
+        loss, g0 = run_grad(jax.random.key(1))
+        dt = time.time() - t0
+        rays = n_closest + n_shadow
+        out = {
+            "metric": "grad_rays_per_s_per_chip",
+            "value": round(rays / dt, 1),
+            "unit": "rays/s (fwd segments / fwd+bwd seconds)",
+            "vs_baseline": round(rays / dt / BASELINE_RAYS_PER_S, 3),
+            "detail": {
+                "scene": scene_name, "tris": int(scene.n_tris),
+                "size": size, "spp": spp, "queue": queue,
+                "backend": backend, "loss": loss,
+                "n_closest": int(n_closest), "n_shadow": int(n_shadow),
+                "compile_plus_run_s": round(t_compile_run, 2),
+                "run_s": round(dt, 3),
+                "device": str(jax.devices()[0]),
+            },
+        }
+        print(json.dumps(out))
+        return
 
     # NOTE: over the remote-device tunnel ``jax.block_until_ready`` returns
     # without waiting (measured: 1e-4 s "runs" whose fetch then takes tens of

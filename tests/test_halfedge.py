@@ -65,6 +65,33 @@ class TestHalfedge:
         ok = t >= 0
         assert (m.twin[t[ok]] == np.arange(len(t))[ok]).all()
 
+    def test_collapse_edge(self):
+        # Icosphere: every interior edge is collapsible; F drops by 2 and
+        # the survivor sits at the old midpoint.
+        verts, tris = icosphere(subdiv=1)
+        m = HalfedgeMesh(verts, tris)
+        f0, v0 = m.n_faces, m.n_verts
+        a = int(m.vert[0])
+        b = int(m.vert[m.next_[0]])
+        mid = (m.verts[a] + m.verts[b]) * 0.5
+        surv = m.collapse_edge(0)
+        assert surv == a
+        assert m.n_faces == f0 - 2
+        np.testing.assert_allclose(m.verts[surv], mid, rtol=1e-6)
+        t = m.twin
+        ok = t >= 0
+        assert (m.twin[t[ok]] == np.arange(len(t))[ok]).all()
+        # b is no longer referenced by any face
+        assert b not in set(m.vert.tolist())
+
+    def test_collapse_edge_rejects_tetrahedron(self):
+        # Collapsing any tet edge would produce two coincident faces —
+        # the link/manifold guard must reject it and leave the mesh intact.
+        m = HalfedgeMesh(*_tet())
+        before = m.vert.copy()
+        assert m.collapse_edge(0) == -1
+        np.testing.assert_array_equal(m.vert, before)
+
 
 class TestLoopSubdivide:
     def test_counts(self):

@@ -154,6 +154,48 @@ class HalfedgeMesh:
         self._rebuild_twins_around(faces)
         return m
 
+    def collapse_edge(self, he: int) -> int:
+        """Collapse the edge of halfedge ``he`` to its midpoint (the
+        reference MeshEdit's edge collapse).  The two incident faces are
+        removed and the endpoints merge into the surviving vertex (the
+        origin of ``he``), repositioned at the midpoint.
+
+        Returns the surviving vertex id, or -1 (mesh untouched) when the
+        collapse is illegal: the link condition requires the endpoints'
+        one-rings to share ONLY the vertices opposite the edge, and the
+        result must stay a manifold triangle mesh.
+        """
+        t = self.twin[he]
+        a = int(self.vert[he])
+        b = int(self.vert[self.next_[he]])
+        # Link condition (Dey et al.): shared neighbours == opposite verts.
+        na = set(self.vertex_neighbors(a))
+        nb = set(self.vertex_neighbors(b))
+        allowed = {int(self.vert[self.next_[self.next_[he]]])}
+        if t >= 0:
+            allowed.add(int(self.vert[self.next_[self.next_[t]]]))
+        if (na & nb) != allowed:
+            return -1
+        dead = {int(self.face[he])} | ({int(self.face[t])} if t >= 0
+                                       else set())
+        keep = [f for f in range(self.n_faces) if f not in dead]
+        tris = self.vert.reshape(-1, 3)[keep]
+        tris = np.where(tris == b, a, tris)
+        nondegen = ((tris[:, 0] != tris[:, 1]) & (tris[:, 1] != tris[:, 2])
+                    & (tris[:, 2] != tris[:, 0]))
+        tris = tris[nondegen]
+        srt = np.sort(tris, axis=1)
+        if len(np.unique(srt, axis=0)) != len(srt):
+            return -1  # duplicate faces (e.g. collapsing a tetrahedron edge)
+        verts = self.verts.copy()
+        verts[a] = (verts[a] + verts[b]) * 0.5
+        try:
+            rebuilt = HalfedgeMesh(verts, tris)
+        except ValueError:
+            return -1  # would go non-manifold — reject, leave mesh intact
+        self.__dict__.update(rebuilt.__dict__)
+        return a
+
     # ---- helpers ---------------------------------------------------------
     def _set_face(self, f: int, tri):
         self.vert[3 * f:3 * f + 3] = tri
