@@ -67,6 +67,12 @@ def main() -> None:
                        rr_start=2, rr_prob=0.7)
 
     backend = os.environ.get("BENCH_BACKEND", "cluster")
+    if os.environ.get("BENCH_DEDUP"):
+        # Cluster-major pair stage: cid-sorted pairs + masked-DMA Pallas
+        # kernel (uniform groups fetch one tile for 8 pairs).
+        from tpu_pt.bvh import cluster as _cl
+
+        _cl.DEDUP_PAIRS = True
 
     bvh_kind = os.environ.get("BENCH_BVH", "sah")
     t0 = time.time()

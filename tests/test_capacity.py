@@ -25,9 +25,15 @@ def bench_scene():
     return scene, cb
 
 
-def _rays(cam, Q, mixed=False):
+def _rays(cam, Q, mixed=False, block=None):
+    """block=<pixel>: Q CONTIGUOUS pixels from there — the actual wavefront
+    respawn population (coherent batches share clusters and carry ~1.4x the
+    random-pixel candidate load, so they are the binding capacity case)."""
     k1, k2, k3 = jax.random.split(jax.random.key(11), 3)
-    pix = jax.random.randint(k1, (Q,), 0, 1024 * 1024)
+    if block is not None:
+        pix = block + jnp.arange(Q, dtype=jnp.int32)
+    else:
+        pix = jax.random.randint(k1, (Q,), 0, 1024 * 1024)
     xy = pixel_xy(1024, 1024, pix, jnp.full((Q, 2), 0.5))
     ro, rd = generate_rays(cam, xy)
     if mixed:
@@ -69,6 +75,23 @@ def test_no_truncation_compact_on_bench_scene(bench_scene, mixed):
     assert int(n_live) > 0
 
 
+@pytest.mark.parametrize("block", [0, 512 * 1024 + 512, 128 * 4096])
+def test_no_truncation_compact_on_coherent_blocks(bench_scene, block):
+    """Regression for the r2 coherent-batch overflow: the wavefront
+    respawns rays in PIXEL ORDER, and a contiguous center block carries
+    ~1.4x the random-pixel candidate load (shared clusters).  The shipped
+    leaf pair mult (6) must cover the worst measured block (23,312
+    candidates at Q=4096) — random-pixel sampling alone missed this."""
+    scene, cb = bench_scene
+    Q = 4096
+    cam = meshes.big_camera(1024, 1024)
+    ro, rd = _rays(cam, Q, block=block)
+    t_min = jnp.zeros((Q, 1), jnp.float32)
+    t_max = jnp.full((Q, 1), 1e30, jnp.float32)
+    n_live, overflow = C.compact_stats(cb, ro, rd, t_min, t_max)
+    assert int(overflow) == 0, (int(n_live), int(overflow))
+
+
 def test_no_truncation_compact_on_atrium():
     """Same contract on the architectural interior scene (high depth
     complexity: colonnades + coffered ceiling), camera down the nave.
@@ -81,12 +104,12 @@ def test_no_truncation_compact_on_atrium():
     scene = meshes.atrium_scene()
     Q = 4096
     cam = meshes.atrium_camera(1024, 1024)
-    ro_t, rd_t = _rays(cam, Q, mixed=True)
     cb = jax.tree.map(jnp.asarray,
-                      C.autotune_frontiers(scene, ro_t, rd_t, slack=1.5))
-    # Fresh rays (different key) — caps must generalize, not memorize.
-    k1, k2, k3 = jax.random.split(jax.random.key(23), 3)
-    pix = jax.random.randint(k1, (Q,), 0, 1024 * 1024)
+                      C.autotune_for_camera(scene, cam, 1024, 1024))
+    # Fresh rays (different key/block) — caps must generalize, not memorize:
+    # a coherent off-center block plus random interior rays.
+    k2, k3 = jax.random.split(jax.random.key(23), 2)
+    pix = 300 * 1024 + 200 + jnp.arange(Q, dtype=jnp.int32)
     xy = pixel_xy(1024, 1024, pix, jnp.full((Q, 2), 0.5))
     ro, rd = generate_rays(cam, xy)
     h = Q // 2

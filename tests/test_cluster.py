@@ -166,6 +166,44 @@ def test_pallas_pair_kernel_matches_xla(setups):
     assert (np.asarray(h_x.prim) == np.asarray(h_p.prim))[m].mean() > 0.99
 
 
+def test_dedup_pair_path_matches_regular(setups):
+    """The cluster-major dedup pair stage (cid-sorted pairs + masked-DMA
+    Pallas kernel + scatter-min reduce) agrees with the ray-major path:
+    hit mask / t / prim exact, u/v to the ulp (Mosaic op ordering)."""
+    scene, cb = setups["big"]
+    if cb.tiles.shape[2] != 128:
+        cb = cl.build_cluster_bvh(scene)  # kernel needs 128-lane tiles
+    Q = 128  # budget = 6Q = 768 = 6 kernel blocks
+    ro, rd = _rays(Q, 13)
+    tmin = jnp.zeros((Q, 1))
+    tmax = jnp.full((Q, 1), 1e30)
+    old = cl.DEDUP_PAIRS
+    try:
+        cl.DEDUP_PAIRS = False
+        h_r = cl.intersect(cb, scene, ro, rd, tmin, tmax)
+        o_r = cl.occluded(cb, scene, ro, rd, jnp.full((Q, 1), 4.0))
+        cl.DEDUP_PAIRS = True
+        h_d = cl.intersect(cb, scene, ro, rd, tmin, tmax)
+        o_d = cl.occluded(cb, scene, ro, rd, jnp.full((Q, 1), 4.0))
+    finally:
+        cl.DEDUP_PAIRS = old
+    np.testing.assert_array_equal(np.asarray(h_r.hit), np.asarray(h_d.hit))
+    # Mosaic fma/ordering leaves ulp-level t deltas (same posture as
+    # test_pallas_pair_kernel_matches_xla); near-equal-t prim flips ride
+    # along with them.
+    np.testing.assert_allclose(np.asarray(h_r.t), np.asarray(h_d.t),
+                               rtol=1e-6, atol=1e-6)
+    m = np.asarray(h_r.hit)[:, 0]
+    same = np.asarray(h_r.prim) == np.asarray(h_d.prim)
+    assert same[m].mean() > 0.96
+    mm = m & same  # u/v comparable only where the same prim won
+    np.testing.assert_allclose(np.asarray(h_r.u)[mm], np.asarray(h_d.u)[mm],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_r.v)[mm], np.asarray(h_d.v)[mm],
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(o_r), np.asarray(o_d))
+
+
 def test_autotune_frontiers(setups):
     """Autotuned caps cover measured needs and stay traversal-correct."""
     scene, _ = setups["big"]

@@ -132,7 +132,7 @@ class ClusterBVH:
 
     def __init__(self, levels, tiles, tile_gid, frontiers: tuple,
                  k_leaf: int, pair_budget: int,
-                 pair_mults: tuple = (8, 8, 4), levels16=None):
+                 pair_mults: tuple = (8, 8, 6), levels16=None):
         self.levels = tuple(levels)
         self.tiles = tiles
         self.tile_gid = tile_gid
@@ -141,8 +141,11 @@ class ClusterBVH:
         self.pair_budget = pair_budget
         # Pair-major traversal budgets, × Q: (top flatten, intermediate
         # levels, leaf/cluster pairs).  Static compile knobs; truncation is
-        # counted (pairs_stats).  Sized from measured live-pair counts on
-        # the 1.3M-tri bench (top 17.5k, mid 19.8k, leaf 7.8k at Q=4096).
+        # counted (pairs_stats / compact_stats).  The leaf mult covers the
+        # WORST CONTIGUOUS-PIXEL BLOCK of the 1.3M-tri bench camera
+        # (coherent wavefront respawn batches share clusters, so their
+        # candidate totals run ~1.4x the random-pixel average; measured
+        # worst block = 23,312 candidates at Q=4096 -> mult 6).
         self.pair_mults = tuple(pair_mults)
         if levels16 is None:
             levels16 = _levels16(self.levels)  # host (numpy) build path
@@ -157,7 +160,7 @@ class ClusterBVH:
         levels, tiles, tile_gid, levels16 = children
         return cls(levels, tiles, tile_gid, frontiers=aux[0], k_leaf=aux[1],
                    pair_budget=aux[2],
-                   pair_mults=aux[3] if len(aux) > 3 else (8, 8, 4),
+                   pair_mults=aux[3] if len(aux) > 3 else (8, 8, 6),
                    levels16=levels16)
 
     @property
@@ -935,15 +938,33 @@ def _descend_compact(cb: ClusterBVH, ro, rd_inv, t_min, t_max):
 
 def _flat_pairs(cand, live, Q: int, budget: int):
     """(Q, K) compacted candidates -> ray-sorted flat pair list.
-    Returns (rayP (budget,), cidP (budget,), dropped scalar)."""
+    Returns (rayP (budget,), cidP (budget,), dropped scalar).
+
+    The flatten itself is the proven 1-D stable sort (_flatten_live;
+    ~0.54 ms at the bench shape — an expand-primitive variant built from
+    scatter+cumsum+2-D-gather measured no faster end-to-end and blew XLA
+    compile time up 7x, so the sort stays).  The reduce stage's segment
+    addressing (cnt/right: ray q's pairs occupy [right-cnt, right)) comes
+    from plain row sums — replacing two jnp.searchsorted calls measured
+    2x slower (tools/microbench_compact.py)."""
     arq = jnp.arange(Q, dtype=jnp.int32)
     key = jnp.where(live, arq[:, None], Q)
-    return _flatten_live(key.reshape(-1), cand.reshape(-1), budget, Q)
+    rayP, cidP, dropped = _flatten_live(key.reshape(-1), cand.reshape(-1),
+                                        budget, Q)
+    cnt = jnp.sum(live.astype(jnp.int32), axis=1)       # (Q,)
+    right = jnp.cumsum(cnt)
+    base = right - cnt
+    right_c = jnp.minimum(right, budget)
+    cnt_c = jnp.maximum(right_c - jnp.minimum(base, budget), 0)
+    return rayP, cidP, dropped, cnt_c, right_c
 
 
-def _reduce_pairs_closest(cb, ro, rd, t_min1, t_max1, rayP, cidP):
+def _reduce_pairs_closest(cb, ro, rd, t_min1, t_max1, rayP, cidP, cnt,
+                          right):
     """Tile-test a ray-sorted pair list and reduce to per-ray nearest.
-    Exact: every pair is tested.  Returns (best_t (Q,), gid, u, v)."""
+    Exact: every pair is tested.  cnt/right: per-ray pair counts and
+    inclusive-cumsum end positions (from _flat_pairs — ray q's pairs
+    occupy [right-cnt, right)).  Returns (best_t (Q,), gid, u, v)."""
     Q = ro.shape[0]
     P = rayP.shape[0]
     pair_ok = rayP < Q
@@ -953,10 +974,7 @@ def _reduce_pairs_closest(cb, ro, rd, t_min1, t_max1, rayP, cidP):
     seg_start = jnp.concatenate(
         [jnp.ones((1,), bool), rayPc[1:] != rayPc[:-1]])
     mt, mi = _seg_min(t_p, seg_start)
-    arq = jnp.arange(Q, dtype=jnp.int32)
-    left = jnp.searchsorted(rayP, arq, side="left")
-    right = jnp.searchsorted(rayP, arq, side="right")
-    has = right > left
+    has = cnt > 0
     endpos = jnp.clip(right - 1, 0, P - 1)
     best_t = jnp.where(has, mt[endpos], INF)
     bi = mi[endpos]
@@ -964,6 +982,42 @@ def _reduce_pairs_closest(cb, ro, rd, t_min1, t_max1, rayP, cidP):
     best_v = jnp.where(has, v_p[bi], 0.0)
     best_g = jnp.where(has, g_p[bi], 0)
     return best_t, best_g, best_u, best_v
+
+
+def _dedup_supported(cb: ClusterBVH, budget: int) -> bool:
+    from tpu_pt.kernels.cluster_isect import B as PBLK
+
+    return (cb.tiles.shape[1] == 12 and cb.tiles.shape[2] == 128
+            and budget % PBLK == 0)
+
+
+def _test_pairs_dedup(cb: ClusterBVH, ro, rd, t_min1, t_max1, rayP, cidP):
+    """Sort the pair list by CLUSTER id and run the dedup Pallas kernel
+    (one tile DMA per uniform group instead of one per pair — coherent
+    batches fetch each distinct tile ~once).  Returns per-pair results in
+    the cid-sorted order: (t (P,), u, v, gid, rayS, okS)."""
+    from tpu_pt.kernels.cluster_isect import pair_tile_isect_dedup
+
+    Q = ro.shape[0]
+    ok = rayP < Q
+    key = jnp.where(ok, cidP, cb.n_clusters)        # dead pairs sort last
+    cidS, rayS = jax.lax.sort((key, rayP), dimension=0, num_keys=1,
+                              is_stable=True)
+    okS = cidS < cb.n_clusters
+    cid_clip = jnp.minimum(cidS, cb.n_clusters - 1)
+    rayC = jnp.minimum(rayS, Q - 1)
+    P = rayP.shape[0]
+    rays = jnp.zeros((P, 16), jnp.float32)
+    rays = rays.at[:, 0:3].set(ro[rayC])
+    rays = rays.at[:, 3:6].set(rd[rayC])
+    rays = rays.at[:, 6].set(t_min1[rayC])
+    rays = rays.at[:, 7].set(t_max1[rayC])
+    rays = rays.at[:, 8].set(okS.astype(jnp.float32))
+    out = pair_tile_isect_dedup(cb.tiles, cid_clip, rays)
+    t_p = jnp.where(okS, out[:, 0], INF)
+    lane = jnp.clip(out[:, 1].astype(jnp.int32), 0, 127)
+    gid = cb.tile_gid[cid_clip, lane]
+    return t_p, out[:, 2], out[:, 3], gid, rayC, okS
 
 
 def _traverse_compact(cb: ClusterBVH, ro, rd, t_min, t_max):
@@ -976,9 +1030,26 @@ def _traverse_compact(cb: ClusterBVH, ro, rd, t_min, t_max):
     cand, live, _ = _descend_compact(cb, ro, 1.0 / rd, t_min1[:, None],
                                      t_max1[:, None])
     budget = cb.pair_mults[2] * Q
-    rayP, cidP, _ = _flat_pairs(cand, live, Q, budget)
+    rayP, cidP, _, cnt, right = _flat_pairs(cand, live, Q, budget)
+    if DEDUP_PAIRS and _dedup_supported(cb, budget):
+        # Cluster-major: dedup-fetch kernel + scatter-min per-ray reduce.
+        t_p, u_p, v_p, g_p, rayC, okS = _test_pairs_dedup(
+            cb, ro, rd, t_min1, t_max1, rayP, cidP)
+        P = t_p.shape[0]
+        best_t = jnp.full((Q,), INF).at[rayC].min(t_p, mode="drop")
+        is_best = okS & (t_p <= best_t[rayC]) & (t_p < INF)
+        pidx = jnp.arange(P, dtype=jnp.int32)
+        widx = jnp.full((Q,), P, jnp.int32).at[rayC].min(
+            jnp.where(is_best, pidx, P), mode="drop")
+        has = widx < P
+        wc = jnp.clip(widx, 0, P - 1)
+        best_u = jnp.where(has, u_p[wc], 0.0)
+        best_v = jnp.where(has, v_p[wc], 0.0)
+        best_g = jnp.where(has, g_p[wc], 0)
+        best_t = jnp.where(has, best_t, INF)
+        return best_t[:, None], best_g, best_u[:, None], best_v[:, None]
     best_t, best_g, best_u, best_v = _reduce_pairs_closest(
-        cb, ro, rd, t_min1, t_max1, rayP, cidP)
+        cb, ro, rd, t_min1, t_max1, rayP, cidP, cnt, right)
     return best_t[:, None], best_g, best_u[:, None], best_v[:, None]
 
 
@@ -990,7 +1061,13 @@ def _traverse_compact_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max):
     cand, live, _ = _descend_compact(cb, ro, 1.0 / rd, t_min1[:, None],
                                      t_max1[:, None])
     budget = cb.pair_mults[2] * Q
-    rayP, cidP, _ = _flat_pairs(cand, live, Q, budget)
+    rayP, cidP, _, _, _ = _flat_pairs(cand, live, Q, budget)
+    if DEDUP_PAIRS and _dedup_supported(cb, budget):
+        t_p, _, _, _, rayC, okS = _test_pairs_dedup(
+            cb, ro, rd, t_min1, t_max1, rayP, cidP)
+        hit_pair = ((t_p < INF) & okS).astype(jnp.int32)
+        return jnp.zeros((Q,), jnp.int32).at[rayC].add(hit_pair,
+                                                       mode="drop") > 0
     pair_ok = rayP < Q
     rayPc = jnp.minimum(rayP, Q - 1)
     t_p, _, _, _ = _test_pair_batch(
@@ -1015,7 +1092,7 @@ def compact_stats(cb: ClusterBVH, ro, rd, t_min, t_max):
     cand, live, overflow = _descend_compact(
         cb, ro, 1.0 / rd, t_min1[:, None], t_max1[:, None])
     budget = cb.pair_mults[2] * Q
-    rayP, _, dropped = _flat_pairs(cand, live, Q, budget)
+    rayP, _, dropped, _, _ = _flat_pairs(cand, live, Q, budget)
     n_live = jnp.sum((rayP < Q).astype(jnp.int32))
     return n_live, jnp.sum(overflow) + dropped
 
@@ -1031,6 +1108,13 @@ TRAVERSAL_MODE = "compact"
 # (half the block-gather bytes; candidate selection stays exact because
 # rounding is conservative).  Flip measured via tools/microbench_pairs.py.
 GATHER_BF16 = True
+
+# Cluster-major pair stage: sort pairs by cluster id and run the dedup
+# Pallas kernel (kernels/cluster_isect.py) — uniform groups fetch ONE tile
+# for 8 pairs, cutting tile HBM bytes toward the distinct-cluster count
+# (measured 483 distinct / 16384 pairs on coherent bench batches, 80%
+# uniform groups).  Exact: every pair is still tested.
+DEDUP_PAIRS = False
 
 
 def intersect(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max) -> Hit:
@@ -1113,16 +1197,21 @@ def autotune_for_camera(scene: Scene, cam, width: int, height: int,
                         n: int = 2048, slack: float = 1.5,
                         pair_budget: int | None = None,
                         seed: int = 7) -> ClusterBVH:
-    """autotune_frontiers with the standard sample-ray recipe: n camera
-    rays through random pixels + n random interior rays (bounce stand-ins),
-    the same population bench.py and the CLI --autotune flag use."""
+    """autotune_frontiers with the standard sample-ray recipe: n CONTIGUOUS
+    image-center camera rays (the wavefront respawns rays in pixel order,
+    so coherent blocks — which share clusters and run ~1.4x the random-
+    pixel candidate load — are the binding population), n camera rays
+    through random pixels, and n random interior rays (bounce stand-ins).
+    Used by bench.py and the CLI --autotune flag."""
     from tpu_pt.core.camera import generate_rays, pixel_xy
 
     lo = np.asarray(scene.vertices, np.float32).min(0)
     hi = np.asarray(scene.vertices, np.float32).max(0)
     k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
-    pix = jax.random.randint(k1, (n,), 0, width * height)
-    xy = pixel_xy(width, height, pix, jnp.full((n, 2), 0.5))
+    pix_blk = (width * height) // 2 + jnp.arange(n, dtype=jnp.int32)
+    pix_rnd = jax.random.randint(k1, (n,), 0, width * height)
+    pix = jnp.concatenate([pix_blk, pix_rnd])
+    xy = pixel_xy(width, height, pix, jnp.full((2 * n, 2), 0.5))
     ro_c, rd_c = generate_rays(cam, xy)
     ro_r = jax.random.uniform(k2, (n, 3), minval=jnp.asarray(lo),
                               maxval=jnp.asarray(hi))

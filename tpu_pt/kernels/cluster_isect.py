@@ -158,6 +158,111 @@ def _kernel(cid_ref, rays_ref, tiles_hbm, out_ref, scratch, sems):
     jax.lax.fori_loop(0, n_groups, body, 0)
 
 
+def _kernel_dedup(cid_ref, rays_ref, tiles_hbm, out_ref, scratch, sems):
+    """Like _kernel, but exploits CID-SORTED pair order: when all GROUP
+    pairs of a group share one cluster id (the common case for coherent
+    camera/bounce rays — measured 80% of groups on the 1.3M bench), only
+    ONE tile DMA is issued and the tile is broadcast to all sublanes.
+    Tile bytes crossing HBM drop toward the distinct-cluster count."""
+    i = pl.program_id(0)
+    n_groups = B // GROUP
+
+    def uniform(g):
+        base = i * B + g * GROUP
+        u = cid_ref[base + 1] == cid_ref[base]
+        for k in range(2, GROUP):
+            u = jnp.logical_and(u, cid_ref[base + k] == cid_ref[base])
+        return u
+
+    def start_group(g):
+        base = i * B + g * GROUP
+        u = uniform(g)
+        pltpu.make_async_copy(
+            tiles_hbm.at[cid_ref[base]], scratch.at[g, 0],
+            sems.at[g, 0]).start()
+
+        @pl.when(jnp.logical_not(u))
+        def _():
+            for k in range(1, GROUP):
+                pltpu.make_async_copy(
+                    tiles_hbm.at[cid_ref[base + k]], scratch.at[g, k],
+                    sems.at[g, k]).start()
+
+    for g in range(n_groups):
+        start_group(g)
+
+    def body(g, _):
+        base = i * B + g * GROUP
+        u = uniform(g)
+        pltpu.make_async_copy(
+            tiles_hbm.at[cid_ref[base]], scratch.at[g, 0],
+            sems.at[g, 0]).wait()
+
+        @pl.when(jnp.logical_not(u))
+        def _():
+            for k in range(1, GROUP):
+                pltpu.make_async_copy(
+                    tiles_hbm.at[cid_ref[base + k]], scratch.at[g, k],
+                    sems.at[g, k]).wait()
+
+        tiles_all = scratch[g]                          # (GROUP, ROWS, LANES)
+        tile0 = scratch[g, 0]                           # (ROWS, LANES)
+        # Uniform group: every sublane tests tile 0 (slots 1.. are stale).
+        tiles = jnp.where(u, jnp.broadcast_to(tile0[None], tiles_all.shape),
+                          tiles_all)
+        rays = rays_ref[pl.ds(g * GROUP, GROUP), :]     # (GROUP, 16)
+        t, uu, vv = _mt_group(tiles, rays)
+        t_best = jnp.min(t, axis=1, keepdims=True)      # (GROUP, 1)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 1)
+        is_best = t == t_best
+        lane = jnp.min(jnp.where(is_best, lanes, LANES), axis=1,
+                       keepdims=True)
+        at_lane = is_best & (lanes == lane)
+        found = t_best < INF
+        u_b = jnp.where(found, jnp.max(jnp.where(at_lane, uu, -jnp.inf),
+                                       axis=1, keepdims=True), 0.0)
+        v_b = jnp.where(found, jnp.max(jnp.where(at_lane, vv, -jnp.inf),
+                                       axis=1, keepdims=True), 0.0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 8), 1)
+        row = jnp.where(col == 0, t_best,
+              jnp.where(col == 1, lane.astype(jnp.float32),
+              jnp.where(col == 2, u_b,
+              jnp.where(col == 3, v_b, 0.0))))
+        out_ref[pl.ds(g * GROUP, GROUP), :] = row
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def pair_tile_isect_dedup(tiles, cid, rays):
+    """Dedup variant of pair_tile_isect: cid MUST be sorted ascending (dead
+    pairs' ids clipped into range).  Same I/O contract otherwise."""
+    P = cid.shape[0]
+    assert P % B == 0, P
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P // B,),
+        in_specs=[
+            pl.BlockSpec((B, 16), lambda i, cid_ref: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tiles stay in HBM
+        ],
+        out_specs=pl.BlockSpec((B, 8), lambda i, cid_ref: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B // GROUP, GROUP, ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((B // GROUP, GROUP)),
+        ],
+    )
+    return pl.pallas_call(
+        _kernel_dedup,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, 8), jnp.float32),
+        interpret=_interpret(),
+    )(cid, rays, tiles)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def pair_tile_isect(tiles, cid, rays):
     """tiles: (C, 12, 128) f32; cid: (P,) i32 (P % 128 == 0); rays: (P, 16)
