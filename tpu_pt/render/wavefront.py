@@ -116,7 +116,14 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     # AND the pair-major cluster walk spawns no candidate pairs for them
     # (budget + work proportional to LIVE lanes only).
     t_max = jnp.where(st.alive, 1e30, -1.0)
-    hit = intersect_fn(scene, st.ro, st.rd, t_min, t_max)
+    # Traversal is DETACHED on both sides: every intersect output is already
+    # stop_gradient'ed downstream (shade_info detaches t/u/v; hit/prim are
+    # bool/int), so detaching the ray inputs changes no gradient value — but
+    # it stops jax.linearize from staging tangent residuals for the whole
+    # BVH walk inside every remat chunk of the differentiable scan (measured
+    # the dominant cost of the backward pass; see BASELINE.md config 4).
+    sg = jax.lax.stop_gradient
+    hit = intersect_fn(sg(scene), sg(st.ro), sg(st.rd), t_min, t_max)
     si = shade_info(scene, st.ro, st.rd, hit)
     wo_world = -st.rd
     tb, bb = make_coord_space(si.ns)
@@ -162,8 +169,10 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
                 dot(ls.wi, si.ng) > 0.0, cfg.eps, -cfg.eps
             )
             # Masked lanes get a negative range: trivial miss, no pair work.
-            occ = occluded_fn(scene, shadow_o, ls.wi,
-                              jnp.where(mask, ls.dist * (1.0 - 1e-3), -1.0))
+            # Detached for the same reason as the closest-hit traversal: the
+            # occlusion bit is boolean, so no gradient ever flows through it.
+            occ = occluded_fn(sg(scene), sg(shadow_o), sg(ls.wi),
+                              sg(jnp.where(mask, ls.dist * (1.0 - 1e-3), -1.0)))
             w = f * ls.radiance * cos_s / (ls.pdf * ns)
             contrib = contrib + jnp.where(mask & ~occ, st.beta * w, 0.0)
 
