@@ -273,10 +273,10 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
                                spp_count)
             return st, nc + c, ns + s, i + 1
 
-        st, nc, ns, _ = jax.lax.while_loop(
+        st, nc, ns, n_iter = jax.lax.while_loop(
             cond, wbody, (st, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
         if with_counts:
-            return st.accum, (nc, ns)
+            return st.accum, (nc, ns, n_iter)
         return st.accum
 
     def body(st, _):
@@ -361,12 +361,15 @@ def render_wavefront_counts(scene: Scene, cam, cfg: RenderConfig, key, bvh,
                             queue: int = 1 << 17, backend: str = "bvh"):
     """Full-image render + honest ray accounting.
 
-    Returns (image, n_closest, n_shadow): the image plus the MEASURED number
-    of useful closest-hit path segments and NEE shadow rays traced (per-step
-    counts summed on device) — the accounting bench.py reports as rays/s.
+    Returns (image, n_closest, n_shadow, n_steps_run): the image plus the
+    MEASURED number of useful closest-hit path segments and NEE shadow rays
+    traced (per-step counts summed on device) — the accounting bench.py
+    reports as rays/s — and the number of while_loop iterations actually
+    executed (vs the static n_steps bound).
     """
-    accum, (nc, ns) = wavefront_accum(scene, cam, cfg, key, bvh, queue,
-                                      backend, 0, cfg.n_pixels,
-                                      with_counts=True, fast=True)
+    accum, (nc, ns, n_iter) = wavefront_accum(scene, cam, cfg, key, bvh,
+                                              queue, backend, 0,
+                                              cfg.n_pixels,
+                                              with_counts=True, fast=True)
     img = (accum / cfg.spp).reshape(cfg.height, cfg.width, 3)
-    return img, nc.astype(jnp.float32), ns.astype(jnp.float32)
+    return img, nc.astype(jnp.float32), ns.astype(jnp.float32), n_iter
