@@ -56,6 +56,11 @@ def cmd_render(args) -> int:
     from tpu_pt.render import film
 
     scene, camera_fn = _load_scene(args.scene)
+    if args.envmap:
+        from tpu_pt.render.envmap import load_envmap
+        from tpu_pt.scene.types import with_envmap
+
+        scene = with_envmap(scene, load_envmap(args.envmap))
     cfg = RenderConfig(
         width=args.resolution[0], height=args.resolution[1], spp=args.spp,
         max_depth=args.max_depth, ns_area_light=args.light_samples,
@@ -211,6 +216,8 @@ def main(argv=None) -> int:
     pr.add_argument("-l", "--light-samples", type=int, default=1)
     pr.add_argument("-r", "--resolution", type=int, nargs=2, default=[512, 512])
     pr.add_argument("-f", "--outfile", default="out.png")
+    pr.add_argument("-e", "--envmap", default=None,
+                    help="lat-long environment map (.exr or .pfm)")
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--direct-only", action="store_true")
     pr.add_argument("--backend",

@@ -149,6 +149,22 @@ def env_pdf(marg_cdf, cond_cdf, d):
     return (pmf * (h * w) / (2.0 * jnp.pi ** 2 * sin_t))[..., None]
 
 
+def load_envmap(path: str) -> np.ndarray:
+    """Load a lat-long radiance map by extension: ``.exr`` (scanline
+    NONE/ZIP/ZIPS — tpu_pt/scene/exr.py) or ``.pfm``.  Returns (H, W, 3)
+    float32, top row first — the reference's ``-e <envmap.exr>`` input
+    (SURVEY.md §2 rows 7/17/19)."""
+    low = path.lower()
+    if low.endswith(".exr"):
+        from tpu_pt.scene.exr import read_exr
+
+        return read_exr(path)
+    if low.endswith(".pfm"):
+        return load_pfm(path)
+    raise ValueError(f"unsupported environment map format: {path} "
+                     "(.exr or .pfm)")
+
+
 def load_pfm(path: str) -> np.ndarray:
     """Read a PFM file -> (H, W, 3) float32 (top row first)."""
     with open(path, "rb") as fh:
