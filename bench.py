@@ -140,7 +140,7 @@ def main() -> None:
 
         # Measured forward path-segment counts (same accounting as the
         # forward bench); the adjoint revisits every segment.
-        _, nc, ns_, _ = render_wavefront_counts(
+        _, nc, ns_, _, _ = render_wavefront_counts(
             scene_d, cam, cfg, key, packed_d, queue=queue, backend=backend)
         n_closest = float(np.asarray(nc))
         n_shadow = float(np.asarray(ns_))
@@ -190,15 +190,15 @@ def main() -> None:
     # result to the host.  Fetch cost of a single f32 is negligible vs the
     # render.
     def run(k):
-        img, nc, ns, ni = render_wavefront_counts(
+        img, nc, ns, novf, ni = render_wavefront_counts(
             scene_d, cam, cfg, k, packed_d, queue=queue, backend=backend)
         # Sync on scalar fetches only (image download stays off the clock).
         return (img, float(np.asarray(nc)), float(np.asarray(ns)),
-                int(np.asarray(ni)))
+                int(np.asarray(novf)), int(np.asarray(ni)))
 
     # Warmup / compile.
     t0 = time.time()
-    img, n_closest, n_shadow, n_iter = run(key)
+    img, n_closest, n_shadow, n_ovf, n_iter = run(key)
     t_compile_run = time.time() - t0
 
     # Median of 3 timed runs (VERDICT r2: the headline must be the
@@ -206,9 +206,13 @@ def main() -> None:
     times = []
     for i in range(1, 4):
         t0 = time.time()
-        img, n_closest, n_shadow, n_iter = run(jax.random.key(i))
+        img, n_closest, n_shadow, n_ovf, n_iter = run(jax.random.key(i))
         times.append(time.time() - t0)
     dt = sorted(times)[1]
+    if n_ovf:
+        print(f"# WARNING: capacity-contract overflow: {n_ovf} candidates "
+              "truncated (image may drop hits; use BENCH_AUTOTUNE=1)",
+              file=__import__("sys").stderr)
 
     # Path-segment accounting: MEASURED on device — n_closest = live lanes
     # entering each intersect, n_shadow = live non-delta hits × lights × ns
@@ -232,6 +236,7 @@ def main() -> None:
             "backend": backend,
             "steps": int(steps),
             "steps_run": int(n_iter),
+            "overflow": int(n_ovf),
             "n_closest": int(n_closest),
             "n_shadow": int(n_shadow),
             "bvh_build_s": round(t_build, 2),

@@ -69,7 +69,14 @@ def test_intersect_matches_brute(setups, name):
     np.testing.assert_allclose(
         np.asarray(h_ref.t)[m], np.asarray(h_cl.t)[m], rtol=1e-5, atol=1e-6
     )
-    assert (np.asarray(h_ref.prim) == np.asarray(h_cl.prim))[m].mean() > 0.99
+    # Exact agreement (r3): the lowest-gid tie rule makes prim ids equal
+    # wherever both backends computed the same nearest t bitwise; rays
+    # where the two float paths round t differently (ULP) may legitimately
+    # pick different coincident prims — require those to be rare.
+    t_same = (np.asarray(h_ref.t)[:, 0] == np.asarray(h_cl.t)[:, 0])[m]
+    prim_eq = (np.asarray(h_ref.prim) == np.asarray(h_cl.prim))[m]
+    np.testing.assert_array_equal(prim_eq[t_same], True)
+    assert prim_eq.mean() > 0.999
 
 
 @pytest.mark.parametrize("name", ["cornell", "mesh", "big"])
@@ -242,3 +249,41 @@ def test_pairs_mode_matches_frontier(setups, name, monkeypatch):
     np.testing.assert_array_equal(np.asarray(h_f.prim)[hit],
                                   np.asarray(h_p.prim)[hit])
     np.testing.assert_array_equal(np.asarray(o_f), np.asarray(o_p))
+
+
+def test_overflow_surfaced_out_of_contract(setups):
+    """Capacity contract enforcement (VERDICT r2 task 4): a cluster build
+    whose static caps are too small for the scene must REPORT truncation
+    through the production render path — never silently drop hits — and
+    the default build must report exactly zero on the same render."""
+    from tpu_pt.config import RenderConfig
+    from tpu_pt.render.wavefront import render_wavefront_counts
+
+    scene, cb_good = setups["mesh"]
+    cam = cornell.camera(16, 16)
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=2)
+    key = jax.random.key(5)
+
+    _, _, _, novf_good, _ = render_wavefront_counts(
+        scene, cam, cfg, key, cb_good, queue=256, backend="cluster")
+    assert int(np.asarray(novf_good)) == 0
+
+    # Adversarially tiny frontier caps + leaf budget: guaranteed overflow.
+    n_lv = len(cb_good.levels)
+    cb_bad = cl.build_cluster_bvh(scene, frontiers=(1,) * n_lv, k_leaf=1,
+                                  pair_mults=(1, 1, 1))
+    _, _, _, novf_bad, _ = render_wavefront_counts(
+        scene, cam, cfg, key, cb_bad, queue=256, backend="cluster")
+    assert int(np.asarray(novf_bad)) > 0
+
+
+def test_intersect_counted_zero_on_contract(setups):
+    scene, cb = setups["cornell"]
+    ro, rd = _rays(256, 11)
+    hit, ovf = cl.intersect_counted(cb, scene, ro, rd,
+                                    jnp.zeros((256, 1)),
+                                    jnp.full((256, 1), 1e30))
+    assert int(np.asarray(ovf)) == 0
+    h2 = cl.intersect(cb, scene, ro, rd, jnp.zeros((256, 1)),
+                      jnp.full((256, 1), 1e30))
+    np.testing.assert_array_equal(np.asarray(hit.prim), np.asarray(h2.prim))

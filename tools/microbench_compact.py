@@ -128,17 +128,91 @@ def select_via_searchsorted(cap):
     return stage
 
 
+def logshift(cap):
+    """Bit-serial left-shift compaction: element distances to their packed
+    slot are nondecreasing along a row, which makes LSB-first staged
+    shifting collision-free (validated exhaustively in numpy)."""
+    def stage(live, idx):
+        n = live.shape[1]
+        pos = jnp.arange(n, dtype=jnp.int32)[None, :]
+        rank = jnp.cumsum(live.astype(jnp.int32), axis=1) - live.astype(jnp.int32)
+        d = jnp.where(live, pos - rank, 0)
+        val, alive, dd = idx, live, d
+        nb = max(1, (n - 1).bit_length())
+        for b in range(nb):
+            bit = 1 << b
+            move = alive & ((dd & bit) != 0)
+            val_s = jnp.roll(val, -bit, axis=1)
+            dd_s = jnp.roll(dd, -bit, axis=1)
+            arrive = jnp.roll(move, -bit, axis=1)
+            arrive = arrive & (pos < n - bit)
+            alive = (alive & ~move) | arrive
+            val = jnp.where(arrive, val_s, val)
+            dd = jnp.where(arrive, dd_s - bit, dd)
+        total = jnp.sum(live.astype(jnp.int32), axis=1)
+        live_c = jnp.arange(cap, dtype=jnp.int32)[None, :] < total[:, None]
+        return val[:, :cap], live_c
+    return stage
+
+
+def flatten_sort(budget):
+    """Direct global flatten of the (Q, N) live mask to a ray-sorted pair
+    list (no per-row compaction at all): 1-D stable sort of Q*N keys
+    (= _flatten_live at the wider pre-compaction shape)."""
+    def stage(live, idx):
+        n = live.shape[1]
+        arq = jnp.arange(Q, dtype=jnp.int32)[:, None]
+        key = jnp.where(live, arq, Q).reshape(-1)
+        ks, vs = jax.lax.sort((key, idx.reshape(-1)), dimension=0,
+                              num_keys=1, is_stable=True)
+        dep = live[:, :1] & ((vs[0] % 2) == 0)
+        return vs[:budget], dep
+    return stage
+
+
+def flatten_topk(budget):
+    """Same flatten via lax.top_k: keep the `budget` smallest
+    (ray-major position) keys of the live lanes."""
+    def stage(live, idx):
+        n = live.shape[1]
+        flat_pos = jnp.arange(Q * n, dtype=jnp.int32)
+        key = jnp.where(live.reshape(-1), -flat_pos, -(2 ** 30))
+        topv, topi = jax.lax.top_k(key, budget)
+        vs = idx.reshape(-1)[topi]
+        dep = live[:, :1] & ((vs[0] % 2) == 0)
+        return vs, dep
+    return stage
+
+
 def main():
     print(f"device={jax.devices()[0]} Q={Q} iters={ITERS}")
     key = jax.random.key(0)
+
+    # ---- direct-flatten alternatives at the LEAF level: replace
+    # (one-hot compact (Q,304)->(Q,69) THEN flatten (Q,69)->6Q pairs)
+    # with one global flatten (Q,304) -> 6Q pairs. ----
+    n, cap = 304, 69
+    budget = 6 * Q
+    live = jax.random.uniform(key, (Q, n)) < (6.0 / n)  # mean ~6 live/ray
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
+                           (Q, n)).copy()
+    for name, mk in [("flat-sort", flatten_sort), ("flat-topk", flatten_topk)]:
+        dt = timed(loop(mk(budget), live, idx), live, idx)
+        print(f"  N={n:4d} budget={budget} {name:10s} {dt*1e3:7.3f} ms/iter")
+    # The incumbent two-stage pipeline at the same load:
+    def two_stage(live, idx):
+        out, live_c = onehot(cap)(live, idx)
+        return flatten_sort(budget)(live_c, out)
+    dt = timed(loop(lambda l, i: two_stage(l, i), live, idx), live, idx)
+    print(f"  N={n:4d} budget={budget} {'oh+flat':10s} {dt*1e3:7.3f} ms/iter")
+
     for n, cap in SHAPES:
         live = jax.random.uniform(key, (Q, n)) < (cap / (2.0 * n))
         idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
                                (Q, n)).copy()
-        for name, mk in [("onehot", onehot), ("scatter", scatter),
+        for name, mk in [("onehot", onehot), ("logshift", logshift),
                          ("sort", sortc), ("cumsum", cumsum_only),
-                         ("oh-rank", onehot_given_rank),
-                         ("sel-ss", select_via_searchsorted)]:
+                         ("oh-rank", onehot_given_rank)]:
             dt = timed(loop(mk(cap), live, idx), live, idx)
             print(f"  N={n:4d} cap={cap:3d} {name:8s} {dt*1e3:7.3f} ms/iter")
 

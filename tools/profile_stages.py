@@ -93,7 +93,7 @@ def main():
     print(f"descend pairs:  {dt*1e3:8.3f} ms/iter")
 
     def s_traverse_pairs(ro, rd):
-        bt, g, u, v = C._traverse_pairs(cb_d, ro, rd, t_min, t_max)
+        bt, g, u, v, _ = C._traverse_pairs(cb_d, ro, rd, t_min, t_max)
         return jnp.sum(jnp.where(bt < C.INF, bt, 0.0))
 
     dt = timed_loop(s_traverse_pairs, ro, rd, iters)
@@ -117,7 +117,7 @@ def main():
           f"({Q*pb*6/1024:.0f} MB tiles)")
 
     def s_traverse(ro, rd):
-        bt, g, u, v = C._traverse(cb_d, scene_d, ro, rd, t_min, t_max)
+        bt, g, u, v, _ = C._traverse(cb_d, scene_d, ro, rd, t_min, t_max)
         return jnp.sum(jnp.where(bt < C.INF, bt, 0.0))
 
     dt = timed_loop(s_traverse, ro, rd, iters)
@@ -141,14 +141,14 @@ def main():
     print(f"descend compact:{dt*1e3:8.3f} ms/iter")
 
     def s_traverse_compact(ro, rd):
-        bt, g, u, v = C._traverse_compact(cb_d, ro, rd, t_min, t_max)
+        bt, g, u, v, _ = C._traverse_compact(cb_d, ro, rd, t_min, t_max)
         return jnp.sum(jnp.where(bt < C.INF, bt, 0.0))
 
     dt = timed_loop(s_traverse_compact, ro, rd, iters)
     print(f"traverse compact:{dt*1e3:7.3f} ms/iter")
 
     def s_anyhit_compact(ro, rd):
-        occ = C._traverse_compact_anyhit(cb_d, ro, rd, t_min, t_max)
+        occ, _ = C._traverse_compact_anyhit(cb_d, ro, rd, t_min, t_max)
         return jnp.sum(occ.astype(jnp.float32))
 
     dt = timed_loop(s_anyhit_compact, ro, rd, iters)
@@ -158,11 +158,11 @@ def main():
     cand_c, live_c, _ = jax.jit(
         lambda ro, rd: C._descend_compact(cb_d, ro, 1.0 / rd, t_min,
                                           t_max))(ro, rd)
-    rayP, cidP, _ = jax.jit(
+    rayP, cidP, _, _, _ = jax.jit(
         lambda c, l: C._flat_pairs(c, l, Q, budget))(cand_c, live_c)
 
     def s_flat_pairs(ro, rd):
-        rp, cp, d = C._flat_pairs(cand_c, live_c, Q, budget)
+        rp, cp, d, _, _ = C._flat_pairs(cand_c, live_c, Q, budget)
         return jnp.sum(rp.astype(jnp.float32)) * 1e-9
 
     dt = timed_loop(s_flat_pairs, ro, rd, iters)

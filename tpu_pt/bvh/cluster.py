@@ -228,14 +228,18 @@ def build_cluster_bvh(scene: Scene, tile: int = TILE,
     C = len(start)
 
     # Tile tensor: (C, 12, tile) with zero padding (zero rows never hit:
-    # zero edges => det 0 for triangles, radius 0 for spheres).
+    # zero edges => det 0 for triangles, radius 0 for spheres).  Lanes are
+    # sorted by gid within each cluster so "first lane at min t" — the rule
+    # the Pallas kernels use — IS the lowest-gid tie-break (SURVEY.md §4
+    # item 2).
     rows_all = _prim_lane_rows(scene, pid)  # (P, 12) in leaf order
     rows = np.zeros((C, tile, 12), np.float32)
     gid = np.zeros((C, tile), np.int32)
     for c in range(C):
         s, n = start[c], cnt[c]
-        rows[c, :n] = rows_all[s:s + n]
-        gid[c, :n] = pid[s:s + n]
+        o = np.argsort(pid[s:s + n], kind="stable")
+        rows[c, :n] = rows_all[s:s + n][o]
+        gid[c, :n] = pid[s:s + n][o]
     tiles = np.ascontiguousarray(rows.transpose(0, 2, 1))  # (C, 12, tile)
 
     # Implicit 8-ary pyramid: sizes fixed top-down so level l+1 has exactly
@@ -347,8 +351,14 @@ def build_cluster_device(scene: Scene, tile: int = TILE,
     pad = C * tile - P
     rows = jnp.concatenate([rows, jnp.zeros((pad, 12))], axis=0)
     gid = jnp.concatenate([og, jnp.zeros((pad,), jnp.int32)])
-    tiles = rows.reshape(C, tile, 12).transpose(0, 2, 1)
     gid = gid.reshape(C, tile)
+    # Sort lanes by gid within each cluster (lowest-gid tie rule; padding
+    # rows are all-zero and never hit, so their position is irrelevant).
+    lane_o = jnp.argsort(gid, axis=1).astype(jnp.int32)
+    gid = jnp.take_along_axis(gid, lane_o, axis=1)
+    rows = jnp.take_along_axis(
+        rows.reshape(C, tile, 12), lane_o[:, :, None], axis=1)
+    tiles = rows.transpose(0, 2, 1)
 
     lo_s = jnp.concatenate(
         [lo[og], jnp.full((pad, 3), jnp.inf)], axis=0).reshape(C, tile, 3)
@@ -519,21 +529,35 @@ def _prim_tile_test(tile, ro, rd, t_min, t_max):
     return t, jnp.where(is_sph, 0.0, u), jnp.where(is_sph, 0.0, vv)
 
 
-def _seg_min(t, seg_start):
+def _seg_min(t, seg_start, gid=None):
     """Segmented running min along axis 0: resets where seg_start.  Returns
-    (min_t, argmin position) per element (inclusive)."""
+    (min_t, argmin position) per element (inclusive).  With ``gid``, ties
+    in t are broken by LOWEST gid (the cross-backend tie rule of
+    SURVEY.md §4 item 2)."""
     n = t.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
+    if gid is None:
+        def combine(a, b):
+            ta, ia, fa = a
+            tb, ib, fb = b
+            take_b = fb | (tb < ta)
+            return (jnp.where(take_b, tb, jnp.minimum(ta, tb)),
+                    jnp.where(take_b, ib, ia),
+                    fa | fb)
+
+        mt, mi, _ = jax.lax.associative_scan(combine, (t, pos, seg_start))
+        return mt, mi
 
     def combine(a, b):
-        ta, ia, fa = a
-        tb, ib, fb = b
-        take_b = fb | (tb < ta)
-        return (jnp.where(take_b, tb, jnp.minimum(ta, tb)),
-                jnp.where(fb | (tb < ta), ib, ia),
+        ta, ga, ia, fa = a
+        tb, gb, ib, fb = b
+        take_b = fb | (tb < ta) | ((tb == ta) & (gb < ga))
+        return (jnp.where(take_b, tb, ta),
+                jnp.where(take_b, gb, ga),
+                jnp.where(take_b, ib, ia),
                 fa | fb)
 
-    mt, mi, _ = jax.lax.associative_scan(combine, (t, pos, seg_start))
+    mt, _, mi, _ = jax.lax.associative_scan(combine, (t, gid, pos, seg_start))
     return mt, mi
 
 
@@ -578,6 +602,9 @@ def _test_pair_batch(cb: ClusterBVH, ro, rd, t_min1, t_max1, ray_c, cid_c,
         t_max1[ray_c][:, None])
     t_lane = jnp.where(pair_ok[:, None], t_lane, INF)
     t_pair = jnp.min(t_lane, axis=1)
+    # argmin keeps the FIRST lane at the min t — and tile lanes are sorted
+    # by gid at build time, so this IS the lowest-gid tie rule (SURVEY.md
+    # §4 item 2) with no extra gather or pass.
     lane = jnp.argmin(t_lane, axis=1)
     ar = jnp.arange(t_lane.shape[0])
     return (t_pair, u_lane[ar, lane], v_lane[ar, lane],
@@ -601,8 +628,9 @@ def _traverse(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max):
     t_min1 = t_min[:, 0]
     t_max1 = t_max[:, 0]
     rd_inv = 1.0 / rd
-    cand, cand_t, _ = _descend(cb, ro, rd_inv, t_min1[:, None],
-                               t_max1[:, None])
+    cand, cand_t, ovf = _descend(cb, ro, rd_inv, t_min1[:, None],
+                                 t_max1[:, None])
+    n_ovf = jnp.sum(ovf)
     K = cand.shape[1]
     ray_of = jnp.broadcast_to(
         jnp.arange(Q, dtype=jnp.int32)[:, None], (Q, K))
@@ -615,21 +643,30 @@ def _traverse(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max):
         ray_of[:, :pb].reshape(-1), cand[:, :pb].reshape(-1),
         (cand_t[:, :pb] < INF).reshape(-1))
     t_p = t_p.reshape(Q, pb)
-    slot = jnp.argmin(t_p, axis=1)
+    g_2d = g_p.reshape(Q, pb)
+    best_t = jnp.min(t_p, axis=1)
+    at_min = t_p == best_t[:, None]
+    g_min = jnp.min(jnp.where(at_min, g_2d, jnp.int32(2**31 - 1)), axis=1)
+    slot = jnp.argmax(at_min & (g_2d == g_min[:, None]), axis=1)
     arq = jnp.arange(Q)
-    best_t = t_p[arq, slot]
     best_u = u_p.reshape(Q, pb)[arq, slot]
     best_v = v_p.reshape(Q, pb)[arq, slot]
-    best_g = g_p.reshape(Q, pb)[arq, slot]
+    best_g = jnp.where(best_t < INF, g_min, 0)
 
     # ---- Rounds 2+: remaining slots [cursor, end) per ray where
     # end = #candidates with t_entry < best_t (monotonically shrinking).
     P2 = max(Q // 2, 1024)
     slots = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (Q, K))
 
+    def _end(bt):
+        # <= so equal-entry-t candidates are still tested: a cluster whose
+        # entry t ties the current best may hold an equal-t, LOWER-GID prim
+        # (the tie rule of SURVEY.md §4 item 2).
+        return jnp.sum((cand_t <= bt[:, None]) & (cand_t < INF), axis=1,
+                       dtype=jnp.int32)
+
     def remaining(cur, bt):
-        end = jnp.sum(cand_t < bt[:, None], axis=1, dtype=jnp.int32)
-        return jnp.maximum(end - cur, 0)
+        return jnp.maximum(_end(bt) - cur, 0)
 
     def cond(state):
         cur, bt, *_ = state
@@ -637,7 +674,7 @@ def _traverse(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max):
 
     def body(state):
         cur, bt, bu, bv, bg = state
-        end = jnp.sum(cand_t < bt[:, None], axis=1, dtype=jnp.int32)
+        end = _end(bt)
         live = (slots >= cur[:, None]) & (slots < end[:, None])
         ray_key = jnp.where(live, ray_of, Q).reshape(-1)
         ray_c, cid_c = jax.lax.sort(
@@ -652,25 +689,27 @@ def _traverse(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max):
         # Per-ray min over this batch (segments contiguous in ray_c).
         seg_start = jnp.concatenate(
             [jnp.ones((1,), bool), ray_cc[1:] != ray_cc[:-1]])
-        mt, mi = _seg_min(t_p, seg_start)
+        mt, mi = _seg_min(t_p, seg_start, gid=g_p)
         left = jnp.searchsorted(ray_c, arq.astype(jnp.int32), side="left")
         right = jnp.searchsorted(ray_c, arq.astype(jnp.int32), side="right")
         has = right > left
         endpos = jnp.clip(right - 1, 0, P2 - 1)
         bt_new = jnp.where(has, mt[endpos], INF)
         bi = mi[endpos]
-        better = has & (bt_new < bt)
+        g_new = g_p[bi]
+        better = has & ((bt_new < bt)
+                        | ((bt_new == bt) & (bt < INF) & (g_new < bg)))
         bt = jnp.where(better, bt_new, bt)
         bu = jnp.where(better, u_p[bi], bu)
         bv = jnp.where(better, v_p[bi], bv)
-        bg = jnp.where(better, g_p[bi], bg)
+        bg = jnp.where(better, g_new, bg)
         # Advance cursors past every pair consumed this round.
         cur = cur + (right - left).astype(jnp.int32)
         return cur, bt, bu, bv, bg
 
     state = (jnp.full((Q,), pb, jnp.int32), best_t, best_u, best_v, best_g)
     _, best_t, best_u, best_v, best_g = jax.lax.while_loop(cond, body, state)
-    return best_t[:, None], best_g, best_u[:, None], best_v[:, None]
+    return best_t[:, None], best_g, best_u[:, None], best_v[:, None], n_ovf
 
 
 # ---------------------------------------------------------------------------
@@ -748,7 +787,7 @@ def _traverse_pairs(cb: ClusterBVH, ro, rd, t_min, t_max):
     Q = ro.shape[0]
     t_min1 = t_min[:, 0]
     t_max1 = t_max[:, 0]
-    rayP, cidP, _ = _descend_pairs(cb, ro, 1.0 / rd, t_min1, t_max1)
+    rayP, cidP, dropped = _descend_pairs(cb, ro, 1.0 / rd, t_min1, t_max1)
     P = rayP.shape[0]
     pair_ok = rayP < Q
     rayPc = jnp.minimum(rayP, Q - 1)
@@ -757,7 +796,7 @@ def _traverse_pairs(cb: ClusterBVH, ro, rd, t_min, t_max):
 
     seg_start = jnp.concatenate(
         [jnp.ones((1,), bool), rayPc[1:] != rayPc[:-1]])
-    mt, mi = _seg_min(t_p, seg_start)
+    mt, mi = _seg_min(t_p, seg_start, gid=g_p)
     arq = jnp.arange(Q, dtype=jnp.int32)
     left = jnp.searchsorted(rayP, arq, side="left")
     right = jnp.searchsorted(rayP, arq, side="right")
@@ -768,23 +807,24 @@ def _traverse_pairs(cb: ClusterBVH, ro, rd, t_min, t_max):
     best_u = jnp.where(has, u_p[bi], 0.0)
     best_v = jnp.where(has, v_p[bi], 0.0)
     best_g = jnp.where(has, g_p[bi], 0)
-    return best_t[:, None], best_g, best_u[:, None], best_v[:, None]
+    return best_t[:, None], best_g, best_u[:, None], best_v[:, None], dropped
 
 
 def _traverse_pairs_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max):
     """Occlusion via the pair-major walk: any live pair with a hit in
-    range occludes its ray.  Returns (Q,) bool."""
+    range occludes its ray.  Returns ((Q,) bool, overflow scalar)."""
     Q = ro.shape[0]
     t_min1 = t_min[:, 0]
     t_max1 = t_max[:, 0]
-    rayP, cidP, _ = _descend_pairs(cb, ro, 1.0 / rd, t_min1, t_max1)
+    rayP, cidP, dropped = _descend_pairs(cb, ro, 1.0 / rd, t_min1, t_max1)
     pair_ok = rayP < Q
     rayPc = jnp.minimum(rayP, Q - 1)
     t_p, _, _, _ = _test_pair_batch(
         cb, ro, rd, t_min1, t_max1, rayPc, cidP, pair_ok)
     hit_pair = ((t_p < INF) & pair_ok).astype(jnp.int32)
-    return jnp.zeros((Q,), jnp.int32).at[rayPc].add(hit_pair,
-                                                    mode="drop") > 0
+    occ = jnp.zeros((Q,), jnp.int32).at[rayPc].add(hit_pair,
+                                                   mode="drop") > 0
+    return occ, dropped
 
 
 def pairs_stats(cb: ClusterBVH, ro, rd, t_min, t_max):
@@ -812,8 +852,9 @@ def _traverse_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max):
     t_min1 = t_min[:, 0]
     t_max1 = t_max[:, 0]
     rd_inv = 1.0 / rd
-    cand, cand_t, _ = _descend(cb, ro, rd_inv, t_min1[:, None],
-                               t_max1[:, None])
+    cand, cand_t, ovf = _descend(cb, ro, rd_inv, t_min1[:, None],
+                                 t_max1[:, None])
+    n_ovf = jnp.sum(ovf)
     K = cand.shape[1]
     ray_of = jnp.broadcast_to(
         jnp.arange(Q, dtype=jnp.int32)[:, None], (Q, K))
@@ -861,7 +902,7 @@ def _traverse_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max):
 
     state = (jnp.full((Q,), pb, jnp.int32), occ)
     _, occ = jax.lax.while_loop(cond, body, state)
-    return occ
+    return occ, n_ovf
 
 
 # ---------------------------------------------------------------------------
@@ -881,6 +922,22 @@ def _traverse_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max):
 # ---------------------------------------------------------------------------
 
 
+def _rank_inclusive(live):
+    """Per-row inclusive rank of live lanes: rank[q, i] = #live in
+    live[q, :i+1].  Computed as a matmul against a triangular-ones matrix —
+    the MXU does the prefix sum in one pass (measured ~10x XLA's lane-axis
+    ``jnp.cumsum``, which lowers to log N shifted-add passes; see
+    tools/microbench_compact.py).  0/1 bf16 inputs with f32 accumulation
+    are exact for any N < 2^24."""
+    n = live.shape[1]
+    tri = jnp.tril(jnp.ones((n, n), jnp.bfloat16))  # tri[i, j] = [j <= i]
+    return jax.lax.dot_general(
+        live.astype(jnp.bfloat16), tri,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+
+
 def _compact_lanes(live, idx, cap: int):
     """Stable 1-bit lane compaction: move live lanes to the front.
 
@@ -893,7 +950,7 @@ def _compact_lanes(live, idx, cap: int):
     under the lane sorts it replaces."""
     n = live.shape[1]
     cap = min(cap, n)
-    rank = jnp.cumsum(live.astype(jnp.int32), axis=1)      # (Q, N) inclusive
+    rank = _rank_inclusive(live)                           # (Q, N) inclusive
     total = rank[:, -1]
     onehot = (live & (rank <= cap))[:, :, None] & (
         rank[:, :, None] == jnp.arange(1, cap + 1, dtype=jnp.int32)[None, None, :])
@@ -964,23 +1021,38 @@ def _reduce_pairs_closest(cb, ro, rd, t_min1, t_max1, rayP, cidP, cnt,
     """Tile-test a ray-sorted pair list and reduce to per-ray nearest.
     Exact: every pair is tested.  cnt/right: per-ray pair counts and
     inclusive-cumsum end positions (from _flat_pairs — ray q's pairs
-    occupy [right-cnt, right)).  Returns (best_t (Q,), gid, u, v)."""
+    occupy [right-cnt, right)).  Returns (best_t (Q,), gid, u, v).
+
+    The reduce gathers each ray's own (<= k_leaf) results DENSELY from the
+    per-pair t table — a (Q, k_leaf) gather from a ~100 KB array + a lane
+    min — replacing a segmented associative_scan over the pair list (log P
+    sequential passes) + searchsorted addressing (r3; numbers in
+    BASELINE.md)."""
     Q = ro.shape[0]
     P = rayP.shape[0]
     pair_ok = rayP < Q
     rayPc = jnp.minimum(rayP, Q - 1)
     t_p, u_p, v_p, g_p = _test_pair_batch(
         cb, ro, rd, t_min1, t_max1, rayPc, cidP, pair_ok)
-    seg_start = jnp.concatenate(
-        [jnp.ones((1,), bool), rayPc[1:] != rayPc[:-1]])
-    mt, mi = _seg_min(t_p, seg_start)
-    has = cnt > 0
-    endpos = jnp.clip(right - 1, 0, P - 1)
-    best_t = jnp.where(has, mt[endpos], INF)
-    bi = mi[endpos]
-    best_u = jnp.where(has, u_p[bi], 0.0)
-    best_v = jnp.where(has, v_p[bi], 0.0)
-    best_g = jnp.where(has, g_p[bi], 0)
+    K = cb.k_leaf
+    base = right - cnt
+    lane = jnp.arange(K, dtype=jnp.int32)[None, :]
+    slots = jnp.clip(base[:, None] + lane, 0, P - 1)       # (Q, K)
+    valid = lane < cnt[:, None]
+    t_q = jnp.where(valid, t_p[slots], INF)                # (Q, K) gather
+    best_t = jnp.min(t_q, axis=1)
+    # Lowest-gid tie-break across this ray's pairs (same rule as within a
+    # tile and as the brute oracle — SURVEY.md §4 item 2).
+    g_q = jnp.where(valid, g_p[slots], jnp.int32(2**31 - 1))
+    at_min = t_q == best_t[:, None]
+    g_best = jnp.min(jnp.where(at_min, g_q, jnp.int32(2**31 - 1)), axis=1)
+    k_best = jnp.argmax(at_min & (g_q == g_best[:, None]), axis=1)
+    arq = jnp.arange(Q)
+    sel = slots[arq, k_best]
+    has = best_t < INF
+    best_u = jnp.where(has, u_p[sel], 0.0)
+    best_v = jnp.where(has, v_p[sel], 0.0)
+    best_g = jnp.where(has, g_best, 0)
     return best_t, best_g, best_u, best_v
 
 
@@ -1027,10 +1099,11 @@ def _traverse_compact(cb: ClusterBVH, ro, rd, t_min, t_max):
     Q = ro.shape[0]
     t_min1 = t_min[:, 0]
     t_max1 = t_max[:, 0]
-    cand, live, _ = _descend_compact(cb, ro, 1.0 / rd, t_min1[:, None],
-                                     t_max1[:, None])
+    cand, live, ovf = _descend_compact(cb, ro, 1.0 / rd, t_min1[:, None],
+                                       t_max1[:, None])
     budget = cb.pair_mults[2] * Q
-    rayP, cidP, _, cnt, right = _flat_pairs(cand, live, Q, budget)
+    rayP, cidP, dropped, cnt, right = _flat_pairs(cand, live, Q, budget)
+    n_ovf = jnp.sum(ovf) + dropped
     if DEDUP_PAIRS and _dedup_supported(cb, budget):
         # Cluster-major: dedup-fetch kernel + scatter-min per-ray reduce.
         t_p, u_p, v_p, g_p, rayC, okS = _test_pairs_dedup(
@@ -1047,10 +1120,11 @@ def _traverse_compact(cb: ClusterBVH, ro, rd, t_min, t_max):
         best_v = jnp.where(has, v_p[wc], 0.0)
         best_g = jnp.where(has, g_p[wc], 0)
         best_t = jnp.where(has, best_t, INF)
-        return best_t[:, None], best_g, best_u[:, None], best_v[:, None]
+        return (best_t[:, None], best_g, best_u[:, None], best_v[:, None],
+                n_ovf)
     best_t, best_g, best_u, best_v = _reduce_pairs_closest(
         cb, ro, rd, t_min1, t_max1, rayP, cidP, cnt, right)
-    return best_t[:, None], best_g, best_u[:, None], best_v[:, None]
+    return best_t[:, None], best_g, best_u[:, None], best_v[:, None], n_ovf
 
 
 def _traverse_compact_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max):
@@ -1058,23 +1132,32 @@ def _traverse_compact_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max):
     Q = ro.shape[0]
     t_min1 = t_min[:, 0]
     t_max1 = t_max[:, 0]
-    cand, live, _ = _descend_compact(cb, ro, 1.0 / rd, t_min1[:, None],
-                                     t_max1[:, None])
+    cand, live, ovf = _descend_compact(cb, ro, 1.0 / rd, t_min1[:, None],
+                                       t_max1[:, None])
     budget = cb.pair_mults[2] * Q
-    rayP, cidP, _, _, _ = _flat_pairs(cand, live, Q, budget)
+    rayP, cidP, dropped, cnt, right = _flat_pairs(cand, live, Q, budget)
+    n_ovf = jnp.sum(ovf) + dropped
     if DEDUP_PAIRS and _dedup_supported(cb, budget):
         t_p, _, _, _, rayC, okS = _test_pairs_dedup(
             cb, ro, rd, t_min1, t_max1, rayP, cidP)
         hit_pair = ((t_p < INF) & okS).astype(jnp.int32)
-        return jnp.zeros((Q,), jnp.int32).at[rayC].add(hit_pair,
-                                                       mode="drop") > 0
+        occ = jnp.zeros((Q,), jnp.int32).at[rayC].add(hit_pair,
+                                                      mode="drop") > 0
+        return occ, n_ovf
     pair_ok = rayP < Q
     rayPc = jnp.minimum(rayP, Q - 1)
     t_p, _, _, _ = _test_pair_batch(
         cb, ro, rd, t_min1, t_max1, rayPc, cidP, pair_ok)
-    hit_pair = ((t_p < INF) & pair_ok).astype(jnp.int32)
-    return jnp.zeros((Q,), jnp.int32).at[rayPc].add(hit_pair,
-                                                    mode="drop") > 0
+    # Dense per-ray any(): same (Q, k_leaf) gather as the closest reduce —
+    # no scatter-add (XLA lowers TPU scatters via sort expansion).
+    P = rayP.shape[0]
+    K = cb.k_leaf
+    base = right - cnt
+    lane = jnp.arange(K, dtype=jnp.int32)[None, :]
+    slots = jnp.clip(base[:, None] + lane, 0, P - 1)
+    valid = lane < cnt[:, None]
+    occ = jnp.any(jnp.where(valid, t_p[slots] < INF, False), axis=1)
+    return occ, n_ovf
 
 
 def compact_stats(cb: ClusterBVH, ro, rd, t_min, t_max):
@@ -1117,29 +1200,47 @@ GATHER_BF16 = True
 DEDUP_PAIRS = False
 
 
-def intersect(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max) -> Hit:
+def intersect_counted(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max):
+    """Nearest hit + the capacity-contract overflow count for this call
+    (candidates truncated by frontier caps / k_leaf / the flat pair
+    budget).  The traversal is exact iff the count is 0; production
+    renders surface the summed count (wavefront counts, bench JSON, CLI)
+    instead of silently dropping hits — SURVEY.md §5 metrics."""
     cb = jax.tree.map(jnp.asarray, cb)
     t_max_b = jnp.broadcast_to(t_max, (ro.shape[0], 1))
     if TRAVERSAL_MODE == "compact":
-        best_t, gid, u, v = _traverse_compact(cb, ro, rd, t_min, t_max_b)
+        best_t, gid, u, v, ovf = _traverse_compact(cb, ro, rd, t_min,
+                                                   t_max_b)
     elif TRAVERSAL_MODE == "pairs":
-        best_t, gid, u, v = _traverse_pairs(cb, ro, rd, t_min, t_max_b)
+        best_t, gid, u, v, ovf = _traverse_pairs(cb, ro, rd, t_min, t_max_b)
     else:
-        best_t, gid, u, v = _traverse(cb, scene, ro, rd, t_min, t_max_b)
+        best_t, gid, u, v, ovf = _traverse(cb, scene, ro, rd, t_min,
+                                           t_max_b)
     found = best_t < t_max_b
     return Hit(hit=found, t=jnp.where(found, best_t, INF), prim=gid,
-               u=u, v=v)
+               u=u, v=v), ovf
 
 
-def occluded(cb: ClusterBVH, scene: Scene, ro, rd, t_max):
+def intersect(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max) -> Hit:
+    return intersect_counted(cb, scene, ro, rd, t_min, t_max)[0]
+
+
+def occluded_counted(cb: ClusterBVH, scene: Scene, ro, rd, t_max):
+    """Occlusion + overflow count (see intersect_counted)."""
     cb = jax.tree.map(jnp.asarray, cb)
     t_min = jnp.zeros((ro.shape[0], 1), jnp.float32)
     t_max = jnp.broadcast_to(t_max, (ro.shape[0], 1))
     if TRAVERSAL_MODE == "compact":
-        return _traverse_compact_anyhit(cb, ro, rd, t_min, t_max)[:, None]
-    if TRAVERSAL_MODE == "pairs":
-        return _traverse_pairs_anyhit(cb, ro, rd, t_min, t_max)[:, None]
-    return _traverse_anyhit(cb, ro, rd, t_min, t_max)[:, None]
+        occ, ovf = _traverse_compact_anyhit(cb, ro, rd, t_min, t_max)
+    elif TRAVERSAL_MODE == "pairs":
+        occ, ovf = _traverse_pairs_anyhit(cb, ro, rd, t_min, t_max)
+    else:
+        occ, ovf = _traverse_anyhit(cb, ro, rd, t_min, t_max)
+    return occ[:, None], ovf
+
+
+def occluded(cb: ClusterBVH, scene: Scene, ro, rd, t_max):
+    return occluded_counted(cb, scene, ro, rd, t_max)[0]
 
 
 def level_hit_counts(cb: ClusterBVH, ro, rd):

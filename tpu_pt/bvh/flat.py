@@ -83,7 +83,10 @@ def intersect(bvh: FlatBVH, scene: Scene, ro, rd, t_min, t_max) -> Hit:
             h, t, u, v = _prim_test(
                 scene, prim, in_range[:, None], ro, rd, t_min, best_t
             )
-            closer = h & (t < best_t)
+            # Lowest-gid wins at equal t (SURVEY.md §4 item 2 tie rule).
+            closer = h & ((t < best_t)
+                          | ((t == best_t) & (t < INF)
+                             & (prim < best_prim)[:, None]))
             best_prim = jnp.where(closer[:, 0], prim, best_prim)
             best_u = jnp.where(closer, u, best_u)
             best_v = jnp.where(closer, v, best_v)

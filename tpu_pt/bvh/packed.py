@@ -268,7 +268,7 @@ def _traverse(packed: PackedBVH, ro, rd, t_min, t_max, any_hit: bool):
         return jnp.any(state[0] < n)
 
     def body(state):
-        cursor, best_t, best_slot, best_u, best_v, occ = state
+        cursor, best_t, best_gid, best_slot, best_u, best_v, occ = state
         active = (cursor < n) & ~occ[:, 0]
         node = table[base + jnp.where(active, cursor, 0)]
         bb_min = node[:, 0:3]
@@ -296,8 +296,13 @@ def _traverse(packed: PackedBVH, ro, rd, t_min, t_max, any_hit: bool):
             h, t, u, v = _prim_row_test(
                 row, in_rng[:, None], ro, rd, t_min, best_t
             )
-            closer = h & (t < best_t)
+            # Lowest-gid tie-break at equal t (SURVEY.md §4 item 2 — every
+            # backend must agree exactly, including on coincident prims).
+            gid = packed.prim_gid[slot]
+            closer = h & ((t < best_t)
+                          | ((t == best_t) & (gid < best_gid)[:, None]))
             best_slot = jnp.where(closer[:, 0], slot, best_slot)
+            best_gid = jnp.where(closer[:, 0], gid, best_gid)
             best_u = jnp.where(closer, u, best_u)
             best_v = jnp.where(closer, v, best_v)
             best_t = jnp.where(closer, t, best_t)
@@ -308,17 +313,18 @@ def _traverse(packed: PackedBVH, ro, rd, t_min, t_max, any_hit: bool):
         nxt = jnp.where(descend, cursor + 1, skip)
         done = ~active
         nxt = jnp.where(done, n, nxt)
-        return nxt, best_t, best_slot, best_u, best_v, occ
+        return nxt, best_t, best_gid, best_slot, best_u, best_v, occ
 
     init = (
         jnp.zeros((R,), jnp.int32),
         jnp.broadcast_to(t_max, (R, 1)).astype(jnp.float32),
+        jnp.full((R,), 2**31 - 1, jnp.int32),
         jnp.zeros((R,), jnp.int32),
         jnp.zeros((R, 1), jnp.float32),
         jnp.zeros((R, 1), jnp.float32),
         jnp.zeros((R, 1), bool),
     )
-    _, best_t, best_slot, best_u, best_v, occ = jax.lax.while_loop(
+    _, best_t, _, best_slot, best_u, best_v, occ = jax.lax.while_loop(
         cond, body, init
     )
     return best_t, best_slot, best_u, best_v, occ

@@ -68,6 +68,7 @@ def cmd_render(args) -> int:
     )
     cam = camera_fn(cfg.width, cfg.height)
     key = jax.random.key(args.seed)
+    n_overflow = 0  # capacity-contract truncations (cluster backend)
 
     t0 = time.time()
     if args.backend == "brute":
@@ -83,7 +84,7 @@ def cmd_render(args) -> int:
     else:  # wavefront — the TPU performance path
         import numpy as np
 
-        from tpu_pt.render.wavefront import render_wavefront
+        from tpu_pt.render.wavefront import render_wavefront_counts
 
         if args.backend == "cluster":
             if args.bvh == "lbvh":
@@ -118,10 +119,15 @@ def cmd_render(args) -> int:
         scene = jax.device_put(scene)
         # np.asarray fetches = the only reliable sync over the device tunnel
         # (block_until_ready returns early there).
-        img = np.asarray(
-            render_wavefront(scene, cam, cfg, key, bvh,
-                             queue=args.queue, backend=wf_backend)
-        )
+        img, _, _, novf, _ = render_wavefront_counts(
+            scene, cam, cfg, key, bvh, queue=args.queue, backend=wf_backend)
+        img = np.asarray(img)
+        n_overflow = int(np.asarray(novf))
+        if n_overflow:
+            print(f"WARNING: {n_overflow} BVH candidates truncated by the "
+                  "capacity contract — the image may be missing hits; "
+                  "re-run with --autotune (or raise the cluster caps)",
+                  file=sys.stderr)
     dt = time.time() - t0
 
     n_rays = cfg.n_pixels * cfg.spp  # primary rays (bounces extra)
@@ -133,6 +139,7 @@ def cmd_render(args) -> int:
                 primary_rays=n_rays,
                 primary_rays_per_s=round(n_rays / dt, 1),
                 mean_radiance=round(float(img.mean()), 5),
+                overflow=n_overflow,
             )
         )
     )

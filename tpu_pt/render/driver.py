@@ -65,6 +65,33 @@ def _intersectors(backend: str, bvh=None):
     raise ValueError(f"unknown backend {backend!r}")
 
 
+def _intersectors_counted(backend: str, bvh=None):
+    """Like _intersectors, but each call ALSO returns the capacity-contract
+    overflow count (candidates silently truncated by static budgets).  The
+    cluster backend reports real counts; every other backend is exact by
+    construction and returns a constant 0.  The wavefront renderer sums
+    these per step so production renders surface truncation instead of
+    silently dropping hits (SURVEY.md §5 metrics; VERDICT r2 task 4)."""
+    if backend == "cluster":
+        from tpu_pt.bvh import cluster as cluster_mod
+
+        if bvh is None:
+            raise ValueError("backend='cluster' requires a ClusterBVH")
+        return (
+            functools.partial(cluster_mod.intersect_counted, bvh),
+            functools.partial(cluster_mod.occluded_counted, bvh),
+        )
+    isect, occl = _intersectors(backend, bvh)
+
+    def isect_c(scene, ro, rd, t_min, t_max):
+        return isect(scene, ro, rd, t_min, t_max), jnp.int32(0)
+
+    def occl_c(scene, ro, rd, t_max):
+        return occl(scene, ro, rd, t_max), jnp.int32(0)
+
+    return isect_c, occl_c
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "backend"))
 def _chunk_jit(scene, cam, cfg, key, pixel_ids, sample_ids, backend, bvh):
     isect, occl = _intersectors(backend, bvh)

@@ -48,7 +48,7 @@ def queue_occupancy(scene, cam, cfg: RenderConfig, key, bvh,
                     queue: int = 4096, backend: str = "packed") -> dict:
     """Run the wavefront loop recording per-step live-lane counts — the key
     perf signal (SURVEY.md §5 'compacted-queue sizes per bounce')."""
-    from tpu_pt.render.driver import _intersectors
+    from tpu_pt.render.driver import _intersectors_counted
     from tpu_pt.render.wavefront import QueueState, _step, n_steps
 
     Q = min(queue, cfg.n_pixels * cfg.spp)
@@ -56,7 +56,7 @@ def queue_occupancy(scene, cam, cfg: RenderConfig, key, bvh,
 
     @jax.jit
     def run(scene, cam, key, bvh):
-        intersect_fn, occluded_fn = _intersectors(backend, bvh)
+        intersect_fn, occluded_fn = _intersectors_counted(backend, bvh)
         st = QueueState(
             ro=jnp.zeros((Q, 3)), rd=jnp.concatenate(
                 [jnp.zeros((Q, 2)), jnp.ones((Q, 1))], -1),

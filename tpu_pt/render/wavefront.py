@@ -123,7 +123,7 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     # BVH walk inside every remat chunk of the differentiable scan (measured
     # the dominant cost of the backward pass; see BASELINE.md config 4).
     sg = jax.lax.stop_gradient
-    hit = intersect_fn(sg(scene), sg(st.ro), sg(st.rd), t_min, t_max)
+    hit, n_ovf = intersect_fn(sg(scene), sg(st.ro), sg(st.rd), t_min, t_max)
     si = shade_info(scene, st.ro, st.rd, hit)
     wo_world = -st.rd
     tb, bb = make_coord_space(si.ns)
@@ -171,8 +171,10 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
             # Masked lanes get a negative range: trivial miss, no pair work.
             # Detached for the same reason as the closest-hit traversal: the
             # occlusion bit is boolean, so no gradient ever flows through it.
-            occ = occluded_fn(sg(scene), sg(shadow_o), sg(ls.wi),
-                              sg(jnp.where(mask, ls.dist * (1.0 - 1e-3), -1.0)))
+            occ, ovf_s = occluded_fn(
+                sg(scene), sg(shadow_o), sg(ls.wi),
+                sg(jnp.where(mask, ls.dist * (1.0 - 1e-3), -1.0)))
+            n_ovf = n_ovf + ovf_s
             w = f * ls.radiance * cos_s / (ls.pdf * ns)
             contrib = contrib + jnp.where(mask & ~occ, st.beta * w, 0.0)
 
@@ -204,7 +206,7 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
         alive=cont,
         accum=accum,
     )
-    return st, (n_closest, n_shadow)
+    return st, (n_closest, n_shadow, n_ovf)
 
 
 def n_steps(cfg: RenderConfig, queue: int, n_pix: int = 0,
@@ -233,10 +235,10 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
     run, which is the "grad allreduce overlapped with the backward bounce
     sweep" of BASELINE.json config 5.  The caller must then NOT tail-psum
     the parameter grads again."""
-    from tpu_pt.render.driver import _intersectors
+    from tpu_pt.render.driver import _intersectors_counted
 
     spp_count = spp_count or cfg.spp
-    intersect_fn, occluded_fn = _intersectors(backend, bvh)
+    intersect_fn, occluded_fn = _intersectors_counted(backend, bvh)
     Q = min(queue, n_pix_local * spp_count)
     st = QueueState(
         ro=jnp.zeros((Q, 3), jnp.float32),
@@ -262,21 +264,22 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
         total = jnp.int32(n_pix_local * spp_count)
 
         def cond(carry):
-            st, nc, ns, i = carry
+            st, nc, ns, novf, i = carry
             return (i < steps) & (
                 jnp.any(st.alive) | (st.next_sample < total))
 
         def wbody(carry):
-            st, nc, ns, i = carry
-            st, (c, s) = _step(scene, cam, cfg, key, intersect_fn,
-                               occluded_fn, st, pix_lo, n_pix_local, spp_lo,
-                               spp_count)
-            return st, nc + c, ns + s, i + 1
+            st, nc, ns, novf, i = carry
+            st, (c, s, o) = _step(scene, cam, cfg, key, intersect_fn,
+                                  occluded_fn, st, pix_lo, n_pix_local,
+                                  spp_lo, spp_count)
+            return st, nc + c, ns + s, novf + o, i + 1
 
-        st, nc, ns, n_iter = jax.lax.while_loop(
-            cond, wbody, (st, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+        st, nc, ns, novf, n_iter = jax.lax.while_loop(
+            cond, wbody, (st, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                          jnp.int32(0)))
         if with_counts:
-            return st.accum, (nc, ns, n_iter)
+            return st.accum, (nc, ns, novf, n_iter)
         return st.accum
 
     def body(st, _):
@@ -336,7 +339,7 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
     else:
         st, counts = jax.lax.scan(body, st, None, length=steps)
     if with_counts:
-        return st.accum, counts  # ((steps,) closest, (steps,) shadow)
+        return st.accum, counts  # (steps,) each: closest, shadow, overflow
     return st.accum
 
 
@@ -361,15 +364,18 @@ def render_wavefront_counts(scene: Scene, cam, cfg: RenderConfig, key, bvh,
                             queue: int = 1 << 17, backend: str = "bvh"):
     """Full-image render + honest ray accounting.
 
-    Returns (image, n_closest, n_shadow, n_steps_run): the image plus the
-    MEASURED number of useful closest-hit path segments and NEE shadow rays
-    traced (per-step counts summed on device) — the accounting bench.py
-    reports as rays/s — and the number of while_loop iterations actually
-    executed (vs the static n_steps bound).
+    Returns (image, n_closest, n_shadow, n_overflow, n_steps_run): the
+    image plus the MEASURED number of useful closest-hit path segments and
+    NEE shadow rays traced (per-step counts summed on device) — the
+    accounting bench.py reports as rays/s — the summed capacity-contract
+    overflow (candidates truncated by static budgets; nonzero means the
+    render may have dropped hits and the BVH needs --autotune or larger
+    caps), and the number of while_loop iterations actually executed (vs
+    the static n_steps bound).
     """
-    accum, (nc, ns, n_iter) = wavefront_accum(scene, cam, cfg, key, bvh,
-                                              queue, backend, 0,
-                                              cfg.n_pixels,
-                                              with_counts=True, fast=True)
+    accum, (nc, ns, novf, n_iter) = wavefront_accum(
+        scene, cam, cfg, key, bvh, queue, backend, 0, cfg.n_pixels,
+        with_counts=True, fast=True)
     img = (accum / cfg.spp).reshape(cfg.height, cfg.width, 3)
-    return img, nc.astype(jnp.float32), ns.astype(jnp.float32), n_iter
+    return (img, nc.astype(jnp.float32), ns.astype(jnp.float32), novf,
+            n_iter)
