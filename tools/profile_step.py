@@ -1,0 +1,133 @@
+"""Ablation timing of ONE wavefront step on the bench scene (TPU).
+
+The stage-level profiler (profile_stages.py) times traversal pieces in
+isolation; XLA overlaps them differently inside the fused step, so this
+tool times the REAL `_step` (and ablated variants) in a 50-iteration scan
+from a realistic mixed-depth queue state.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_step.py
+Knobs: PS_QUEUE (4096), PS_ITERS (50), PS_SCENE (big-1m).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pt.bvh import cluster as C
+from tpu_pt.config import RenderConfig
+from tpu_pt.render import wavefront as W
+from tpu_pt.render.driver import _intersectors_counted
+from tpu_pt.scene import meshes
+
+
+def main():
+    Q = int(os.environ.get("PS_QUEUE", "4096"))
+    iters = int(os.environ.get("PS_ITERS", "50"))
+    scene_name = os.environ.get("PS_SCENE", "big-1m")
+    subdiv = {"big": 7, "big-1m": 8}[scene_name]
+    scene = meshes.big_scene(subdiv=subdiv)
+    cam = meshes.big_camera(1024, 1024)
+    cfg = RenderConfig(width=1024, height=1024, spp=1, max_depth=4)
+    cb = C.build_cluster_bvh(scene)
+    scene_d = jax.device_put(scene)
+    cb_d = jax.device_put(cb)
+    key = jax.random.key(0)
+    intersect_fn, occluded_fn = _intersectors_counted("cluster", cb_d)
+
+    n_pix = cfg.n_pixels
+    st = W.QueueState(
+        ro=jnp.zeros((Q, 3), jnp.float32),
+        rd=jnp.concatenate([jnp.zeros((Q, 2)), jnp.ones((Q, 1))], -1),
+        beta=jnp.zeros((Q, 3), jnp.float32),
+        ray_id=jnp.full((Q,), -1, jnp.int32),
+        depth=jnp.zeros((Q,), jnp.int32),
+        include_le=jnp.zeros((Q, 1), bool),
+        alive=jnp.zeros((Q, 1), bool),
+        next_sample=jnp.int32(0),
+        accum=jnp.zeros((n_pix, 3), jnp.float32),
+    )
+
+    def step(st):
+        return W._step(scene_d, cam, cfg, key, intersect_fn, occluded_fn,
+                       st, jnp.int32(0), n_pix, jnp.int32(0), cfg.spp)
+
+    # Warm the queue into a realistic mixed-depth steady state.
+    warm = jax.jit(lambda st: jax.lax.scan(
+        lambda s, _: step(s), st, None, length=8)[0])
+    st = jax.block_until_ready(warm(st))
+    occ = float(np.asarray(jnp.mean(st.alive.astype(jnp.float32))))
+    print(f"steady-state occupancy after warmup: {occ:.3f}")
+
+    def timed(body, tag):
+        @jax.jit
+        def run(st):
+            def f(s, _):
+                return body(s), None
+            s, _ = jax.lax.scan(f, st, None, length=iters)
+            return s
+        run(st)
+        jax.block_until_ready(run(st))
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            jax.block_until_ready(run(st))
+            ts.append(time.time() - t0)
+        print(f"{tag}: {min(ts)/iters*1e3:8.3f} ms/step")
+        return min(ts) / iters
+
+    # A. the real step
+    timed(lambda s: step(s)[0], "A full step            ")
+
+    # B. no accumulator scatter: replace pixel scatter-add with a fold into
+    # lane 0 (keeps all other work).
+    def step_noaccum(s):
+        s2, _ = step(s)
+        acc = s.accum.at[0].add(jnp.sum(s2.accum[:1] * 0.0))
+        return s2._replace(accum=acc)
+
+    # (B approximates by re-using step then discarding; scatter still runs
+    # inside step — instead rebuild: cheaper to time scatter alone.)
+    def scatter_only(s):
+        pix = jnp.maximum(s.ray_id, 0) // cfg.spp
+        acc = s.accum.at[pix].add(s.beta, mode="drop")
+        return s._replace(accum=acc)
+
+    timed(scatter_only, "B accum scatter only    ")
+
+    # C. respawn only
+    timed(lambda s: W._respawn(cam, cfg, key, s, jnp.int32(0), n_pix,
+                               jnp.int32(0), cfg.spp),
+          "C respawn only          ")
+
+    # D. closest-hit traversal only (from current state rays)
+    def closest_only(s):
+        t_min = jnp.zeros((Q, 1), jnp.float32)
+        t_max = jnp.where(s.alive, 1e30, -1.0)
+        hit, _ = intersect_fn(scene_d, s.ro, s.rd, t_min, t_max)
+        return s._replace(beta=s.beta + hit.t * 1e-20)
+
+    timed(closest_only, "D closest traverse only ")
+
+    # E. occlusion traversal only
+    def occl_only(s):
+        occ, _ = occluded_fn(scene_d, s.ro, s.rd,
+                             jnp.where(s.alive[:, 0], 10.0, -1.0)[:, None])
+        return s._replace(beta=s.beta + occ.astype(jnp.float32) * 1e-20)
+
+    timed(occl_only, "E occluded traverse only")
+
+    # F. D+E back to back (how XLA overlaps two descents)
+    def both(s):
+        s = closest_only(s)
+        return occl_only(s)
+
+    timed(both, "F closest+occluded      ")
+
+
+if __name__ == "__main__":
+    main()

@@ -959,6 +959,30 @@ def _compact_lanes(live, idx, cap: int):
     return idx_c, live_c, jnp.maximum(total - cap, 0)
 
 
+def _slab_soa(blo, bhi, ro, rd_inv, t_min, t_max):
+    """Component-wise (SoA) slab test: blo/bhi are 3-tuples of per-axis
+    arrays broadcastable against per-axis ray columns ro[i]/rd_inv[i].
+
+    Same math and float semantics as :func:`_slab` (max/min are exact, so
+    reassociating the axis reduction is bit-identical) — but every
+    intermediate is a (Q, N) array with the CANDIDATE axis minor, mapping
+    onto the 128-lane VPU dimension.  The AoS form broadcast to (Q, N, 3)
+    puts 3 in the lane dim (padded to 128): measured ~4x slower at the
+    descent shapes (tools/microbench_compact.py, v5e)."""
+    t0 = t_min
+    t1 = t_max
+    for i in range(3):
+        lo = (blo[i] - ro[i]) * rd_inv[i]
+        hi = (bhi[i] - ro[i]) * rd_inv[i]
+        near = jnp.minimum(lo, hi)
+        far = jnp.maximum(lo, hi)
+        near = jnp.where(jnp.isnan(near), -jnp.inf, near)
+        far = jnp.where(jnp.isnan(far), jnp.inf, far)
+        t0 = jnp.maximum(t0, near)
+        t1 = jnp.minimum(t1, far)
+    return jnp.where((blo[0] <= bhi[0]) & (t0 <= t1), t0, INF)
+
+
 def _descend_compact(cb: ClusterBVH, ro, rd_inv, t_min, t_max):
     """Sort-free frontier descent.  Returns (cand (Q, K) i32 cluster ids,
     live (Q, K) bool, overflow (Q,) i32 live candidates truncated at any
@@ -967,28 +991,40 @@ def _descend_compact(cb: ClusterBVH, ro, rd_inv, t_min, t_max):
     Q = ro.shape[0]
     levels = cb.levels
     caps = cb.frontiers
-    ro_b = ro[:, None, :]
-    ri_b = rd_inv[:, None, :]
+    ro_c = tuple(ro[:, i:i + 1] for i in range(3))          # (Q, 1) each
+    ri_c = tuple(rd_inv[:, i:i + 1] for i in range(3))
 
-    top = levels[0]
-    te = _slab(top[None, :, 0:3], top[None, :, 3:6], ro_b, ri_b,
-               t_min, t_max)                               # (Q, N0)
+    topT = levels[0].T                                      # (8, N0)
+    te = _slab_soa(tuple(topT[i][None, :] for i in range(3)),
+                   tuple(topT[3 + i][None, :] for i in range(3)),
+                   ro_c, ri_c, t_min, t_max)                # (Q, N0)
     idx0 = jnp.broadcast_to(
-        jnp.arange(top.shape[0], dtype=jnp.int32)[None, :], te.shape)
+        jnp.arange(levels[0].shape[0], dtype=jnp.int32)[None, :], te.shape)
     cand, live, overflow = _compact_lanes(te < INF, idx0, caps[0])
 
     for l in range(1, len(levels)):
         src = cb.levels16[l] if GATHER_BF16 else levels[l]
-        child = src.reshape(-1, 64)  # flat rows gather 2.6x faster on v5e
-        blk = child[jnp.clip(cand, 0, child.shape[0] - 1)].astype(
-            jnp.float32).reshape(cand.shape + (8, 8))
-        tc = _slab(blk[..., 0:3], blk[..., 3:6], ro_b[:, :, None, :],
-                   ri_b[:, :, None, :], t_min[..., None], t_max[..., None])
-        live_c = (tc < INF) & live[..., None]
-        cidx = cand[..., None] * 8 + jnp.arange(8, dtype=jnp.int32)
+        # Field-major sibling rows: row r = [f0 of children 0..7, f1 of
+        # children 0..7, ...] so a field slice of the gathered block keeps
+        # the 8 children minor (VPU lanes).  The relayout is loop-invariant
+        # (hoisted by XLA) and ~2 us of bandwidth even when it isn't.
+        child = src.reshape(-1, 8, 8).transpose(0, 2, 1).reshape(-1, 64)
+        blk = child[jnp.clip(cand, 0, child.shape[0] - 1)]  # (Q, cap, 64)
+        K8 = cand.shape[1] * 8
+
+        def field(f):
+            return blk[:, :, f * 8:(f + 1) * 8].astype(
+                jnp.float32).reshape(Q, K8)
+
+        tc = _slab_soa((field(0), field(1), field(2)),
+                       (field(3), field(4), field(5)),
+                       ro_c, ri_c, t_min, t_max)            # (Q, cap*8)
+        live_c = (tc < INF) & jnp.broadcast_to(
+            live[:, :, None], live.shape + (8,)).reshape(Q, K8)
+        cidx = (cand[:, :, None] * 8 + jnp.arange(8, dtype=jnp.int32)
+                ).reshape(Q, K8)
         cap = cb.k_leaf if l == len(levels) - 1 else caps[l]
-        cand, live, ovf = _compact_lanes(
-            live_c.reshape(Q, -1), cidx.reshape(Q, -1), cap)
+        cand, live, ovf = _compact_lanes(live_c, cidx, cap)
         overflow = overflow + ovf
     return cand, live, overflow
 
@@ -1023,36 +1059,28 @@ def _reduce_pairs_closest(cb, ro, rd, t_min1, t_max1, rayP, cidP, cnt,
     inclusive-cumsum end positions (from _flat_pairs — ray q's pairs
     occupy [right-cnt, right)).  Returns (best_t (Q,), gid, u, v).
 
-    The reduce gathers each ray's own (<= k_leaf) results DENSELY from the
-    per-pair t table — a (Q, k_leaf) gather from a ~100 KB array + a lane
-    min — replacing a segmented associative_scan over the pair list (log P
-    sequential passes) + searchsorted addressing (r3; numbers in
-    BASELINE.md)."""
+    The reduce is ONE multi-key sort: the pair list is already ray-major,
+    so sorting by (ray, t, gid) puts each ray's winning pair — nearest t,
+    lowest gid at ties (SURVEY.md §4 item 2) — at its segment head, read
+    back by a (Q,) gather at the known segment starts.  Measured 0.70 ms
+    vs 2.6 ms for the r2-era (Q, k_leaf) elementwise gather-back and
+    1.6 ms for a scatter-min chain (tools/microbench_reduce.py, v5e)."""
     Q = ro.shape[0]
     P = rayP.shape[0]
     pair_ok = rayP < Q
     rayPc = jnp.minimum(rayP, Q - 1)
     t_p, u_p, v_p, g_p = _test_pair_batch(
         cb, ro, rd, t_min1, t_max1, rayPc, cidP, pair_ok)
-    K = cb.k_leaf
-    base = right - cnt
-    lane = jnp.arange(K, dtype=jnp.int32)[None, :]
-    slots = jnp.clip(base[:, None] + lane, 0, P - 1)       # (Q, K)
-    valid = lane < cnt[:, None]
-    t_q = jnp.where(valid, t_p[slots], INF)                # (Q, K) gather
-    best_t = jnp.min(t_q, axis=1)
-    # Lowest-gid tie-break across this ray's pairs (same rule as within a
-    # tile and as the brute oracle — SURVEY.md §4 item 2).
-    g_q = jnp.where(valid, g_p[slots], jnp.int32(2**31 - 1))
-    at_min = t_q == best_t[:, None]
-    g_best = jnp.min(jnp.where(at_min, g_q, jnp.int32(2**31 - 1)), axis=1)
-    k_best = jnp.argmax(at_min & (g_q == g_best[:, None]), axis=1)
-    arq = jnp.arange(Q)
-    sel = slots[arq, k_best]
-    has = best_t < INF
-    best_u = jnp.where(has, u_p[sel], 0.0)
-    best_v = jnp.where(has, v_p[sel], 0.0)
-    best_g = jnp.where(has, g_best, 0)
+    g_key = jnp.where(t_p < INF, g_p, jnp.int32(2**31 - 1))
+    _, tS, gS, uS, vS = jax.lax.sort(
+        (rayP, t_p, g_key, u_p, v_p), dimension=0, num_keys=3)
+    head = jnp.minimum(right - cnt, P - 1)                 # segment starts
+    best_t = tS[head]
+    has = (cnt > 0) & (best_t < INF)
+    best_t = jnp.where(has, best_t, INF)
+    best_g = jnp.where(has, gS[head], 0)
+    best_u = jnp.where(has, uS[head], 0.0)
+    best_v = jnp.where(has, vS[head], 0.0)
     return best_t, best_g, best_u, best_v
 
 
@@ -1148,15 +1176,13 @@ def _traverse_compact_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max):
     rayPc = jnp.minimum(rayP, Q - 1)
     t_p, _, _, _ = _test_pair_batch(
         cb, ro, rd, t_min1, t_max1, rayPc, cidP, pair_ok)
-    # Dense per-ray any(): same (Q, k_leaf) gather as the closest reduce —
-    # no scatter-add (XLA lowers TPU scatters via sort expansion).
-    P = rayP.shape[0]
-    K = cb.k_leaf
-    base = right - cnt
-    lane = jnp.arange(K, dtype=jnp.int32)[None, :]
-    slots = jnp.clip(base[:, None] + lane, 0, P - 1)
-    valid = lane < cnt[:, None]
-    occ = jnp.any(jnp.where(valid, t_p[slots] < INF, False), axis=1)
+    # Per-ray any() as one scatter-add over the pair list (~0.8 ms at the
+    # bench shape vs 2.6 ms for the r2-era (Q, k_leaf) gather-back —
+    # tools/microbench_reduce.py; XLA's sort-based scatter expansion is
+    # cheap at P = pair-budget size).
+    hit_pair = ((t_p < INF) & pair_ok).astype(jnp.int32)
+    occ = jnp.zeros((Q,), jnp.int32).at[rayPc].add(hit_pair,
+                                                   mode="drop") > 0
     return occ, n_ovf
 
 
