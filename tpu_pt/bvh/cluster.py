@@ -132,7 +132,8 @@ class ClusterBVH:
 
     def __init__(self, levels, tiles, tile_gid, frontiers: tuple,
                  k_leaf: int, pair_budget: int,
-                 pair_mults: tuple = (8, 8, 6), levels16=None):
+                 pair_mults: tuple = (8, 8, 6), levels16=None,
+                 fallback=None):
         self.levels = tuple(levels)
         self.tiles = tiles
         self.tile_gid = tile_gid
@@ -150,18 +151,24 @@ class ClusterBVH:
         if levels16 is None:
             levels16 = _levels16(self.levels)  # host (numpy) build path
         self.levels16 = tuple(levels16)
+        # Optional exact-retrace fallback (PackedBVH): rays whose candidates
+        # overflowed ANY static budget are re-traced through the exact
+        # per-ray octant walk, so capacity overflow degrades to slower,
+        # never to a dropped hit (VERDICT r3 task 1d).
+        self.fallback = fallback
 
     def tree_flatten(self):
-        return (self.levels, self.tiles, self.tile_gid, self.levels16), (
+        return (self.levels, self.tiles, self.tile_gid, self.levels16,
+                self.fallback), (
             self.frontiers, self.k_leaf, self.pair_budget, self.pair_mults)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        levels, tiles, tile_gid, levels16 = children
+        levels, tiles, tile_gid, levels16, fallback = children
         return cls(levels, tiles, tile_gid, frontiers=aux[0], k_leaf=aux[1],
                    pair_budget=aux[2],
                    pair_mults=aux[3] if len(aux) > 3 else (8, 8, 6),
-                   levels16=levels16)
+                   levels16=levels16, fallback=fallback)
 
     @property
     def n_clusters(self) -> int:
@@ -192,13 +199,24 @@ def _prim_lane_rows(scene: Scene, pid: np.ndarray) -> np.ndarray:
 def default_frontiers(level_sizes: Sequence[int]):
     """Per-level frontier capacities (top-first) + leaf candidate budget K.
 
-    A ray through an n^3-cell grid pierces ~3n cells; capacities are ~2x
-    that (plus slack for AABB overlap) and verified overflow-free by
-    ``candidate_stats`` on the test scenes."""
+    A ray through an n^3-cell grid pierces ~3n cells.  The leaf level
+    matches that model well (bench 1.3M-tri scene: measured max need 49 vs
+    cap 69), but INTERMEDIATE levels need ~4n: their AABBs overlap more
+    (each is the union of 8 children), so a ray stabs more of them than the
+    disjoint-grid estimate.  r3's 2.5n+8 mid caps truncated 1,318
+    candidates on the real mixed-depth wavefront of the headline bench
+    (tools/attribute_overflow.py: level-0 needed 25 vs cap 23, level-1
+    needed 47 vs cap 38); 4n+10 covers the measured max with >=1.25x
+    margin.  The warmed-wavefront autotuner (autotune_for_render) replaces
+    these static estimates with measured per-scene maxima."""
     caps = []
-    for s in level_sizes:
+    last = len(level_sizes) - 1
+    for i, s in enumerate(level_sizes):
         n = max(1.0, float(s)) ** (1.0 / 3.0)
-        caps.append(int(min(s, max(12, int(2.5 * n) + 8))))
+        if i == last:
+            caps.append(int(min(s, max(12, int(2.5 * n) + 8))))
+        else:
+            caps.append(int(min(s, max(16, int(4.0 * n) + 10))))
     return tuple(caps), caps[-1]
 
 
@@ -983,11 +1001,17 @@ def _slab_soa(blo, bhi, ro, rd_inv, t_min, t_max):
     return jnp.where((blo[0] <= bhi[0]) & (t0 <= t1), t0, INF)
 
 
-def _descend_compact(cb: ClusterBVH, ro, rd_inv, t_min, t_max):
+def _descend_compact(cb: ClusterBVH, ro, rd_inv, t_min, t_max,
+                     collect: list | None = None):
     """Sort-free frontier descent.  Returns (cand (Q, K) i32 cluster ids,
     live (Q, K) bool, overflow (Q,) i32 live candidates truncated at any
     level).  Candidates are lane-compacted but UNORDERED by t — the compact
-    traversal tests all of them, so order is irrelevant."""
+    traversal tests all of them, so order is irrelevant.
+
+    collect: observability hook — when a list is passed, one
+    (needed (Q,), truncated (Q,)) pair per level is appended (needed = live
+    candidates BEFORE the cap; attribution for the capacity contract,
+    VERDICT r3 task 1a)."""
     Q = ro.shape[0]
     levels = cb.levels
     caps = cb.frontiers
@@ -1001,6 +1025,9 @@ def _descend_compact(cb: ClusterBVH, ro, rd_inv, t_min, t_max):
     idx0 = jnp.broadcast_to(
         jnp.arange(levels[0].shape[0], dtype=jnp.int32)[None, :], te.shape)
     cand, live, overflow = _compact_lanes(te < INF, idx0, caps[0])
+    if collect is not None:
+        collect.append((jnp.sum(te < INF, axis=1, dtype=jnp.int32),
+                        overflow))
 
     for l in range(1, len(levels)):
         src = cb.levels16[l] if GATHER_BF16 else levels[l]
@@ -1026,6 +1053,8 @@ def _descend_compact(cb: ClusterBVH, ro, rd_inv, t_min, t_max):
         cap = cb.k_leaf if l == len(levels) - 1 else caps[l]
         cand, live, ovf = _compact_lanes(live_c, cidx, cap)
         overflow = overflow + ovf
+        if collect is not None:
+            collect.append((jnp.sum(live_c, axis=1, dtype=jnp.int32), ovf))
     return cand, live, overflow
 
 
@@ -1049,7 +1078,8 @@ def _flat_pairs(cand, live, Q: int, budget: int):
     base = right - cnt
     right_c = jnp.minimum(right, budget)
     cnt_c = jnp.maximum(right_c - jnp.minimum(base, budget), 0)
-    return rayP, cidP, dropped, cnt_c, right_c
+    lost = cnt - cnt_c                                   # per-ray drops
+    return rayP, cidP, dropped, cnt_c, right_c, lost
 
 
 def _reduce_pairs_closest(cb, ro, rd, t_min1, t_max1, rayP, cidP, cnt,
@@ -1120,6 +1150,51 @@ def _test_pairs_dedup(cb: ClusterBVH, ro, rd, t_min1, t_max1, rayP, cidP):
     return t_p, out[:, 2], out[:, 3], gid, rayC, okS
 
 
+def _retrace_suspects_closest(cb: ClusterBVH, ro, rd, t_min1, t_max1,
+                              suspect, best):
+    """Exact repair: re-trace rays whose candidates overflowed any static
+    budget through the packed per-ray octant walk (exact by construction)
+    and take ITS answer for those rays.  Non-suspect rays get t_max=-1
+    (trivial miss) so the lock-step walk does no work for them; the whole
+    repair is cond-gated so a clean batch pays only the predicate.  This
+    turns the capacity contract from a correctness bound into a perf knob:
+    overflow degrades to slower, never to a dropped hit."""
+    from tpu_pt.bvh import packed as packed_mod
+
+    best_t, best_g, best_u, best_v = best
+
+    def repair(best):
+        best_t, best_g, best_u, best_v = best
+        t_max_f = jnp.where(suspect, t_max1, -1.0)
+        bt, slot, bu, bv, _ = packed_mod._traverse(
+            cb.fallback, ro, rd, t_min1[:, None], t_max_f[:, None],
+            any_hit=False)
+        found = bt[:, 0] < t_max_f
+        gid = cb.fallback.prim_gid[slot]
+        bt1 = jnp.where(found, bt[:, 0], INF)
+        return (jnp.where(suspect, bt1, best_t),
+                jnp.where(suspect, jnp.where(found, gid, 0), best_g),
+                jnp.where(suspect, jnp.where(found, bu[:, 0], 0.0), best_u),
+                jnp.where(suspect, jnp.where(found, bv[:, 0], 0.0), best_v))
+
+    return jax.lax.cond(jnp.any(suspect), repair, lambda b: b,
+                        (best_t, best_g, best_u, best_v))
+
+
+def _retrace_suspects_anyhit(cb: ClusterBVH, ro, rd, t_min1, t_max1,
+                             suspect, occ):
+    from tpu_pt.bvh import packed as packed_mod
+
+    def repair(occ):
+        t_max_f = jnp.where(suspect, t_max1, -1.0)
+        _, _, _, _, occ_fb = packed_mod._traverse(
+            cb.fallback, ro, rd, t_min1[:, None], t_max_f[:, None],
+            any_hit=True)
+        return jnp.where(suspect, occ_fb[:, 0], occ)
+
+    return jax.lax.cond(jnp.any(suspect), repair, lambda o: o, occ)
+
+
 def _traverse_compact(cb: ClusterBVH, ro, rd, t_min, t_max):
     """Closest hit: sort-free descent + one flat all-candidates pair batch
     + segmented min.  No while_loop, no best-t feedback — exact because
@@ -1130,7 +1205,8 @@ def _traverse_compact(cb: ClusterBVH, ro, rd, t_min, t_max):
     cand, live, ovf = _descend_compact(cb, ro, 1.0 / rd, t_min1[:, None],
                                        t_max1[:, None])
     budget = cb.pair_mults[2] * Q
-    rayP, cidP, dropped, cnt, right = _flat_pairs(cand, live, Q, budget)
+    rayP, cidP, dropped, cnt, right, lost = _flat_pairs(cand, live, Q,
+                                                        budget)
     n_ovf = jnp.sum(ovf) + dropped
     if DEDUP_PAIRS and _dedup_supported(cb, budget):
         # Cluster-major: dedup-fetch kernel + scatter-min per-ray reduce.
@@ -1148,10 +1224,13 @@ def _traverse_compact(cb: ClusterBVH, ro, rd, t_min, t_max):
         best_v = jnp.where(has, v_p[wc], 0.0)
         best_g = jnp.where(has, g_p[wc], 0)
         best_t = jnp.where(has, best_t, INF)
-        return (best_t[:, None], best_g, best_u[:, None], best_v[:, None],
-                n_ovf)
-    best_t, best_g, best_u, best_v = _reduce_pairs_closest(
-        cb, ro, rd, t_min1, t_max1, rayP, cidP, cnt, right)
+    else:
+        best_t, best_g, best_u, best_v = _reduce_pairs_closest(
+            cb, ro, rd, t_min1, t_max1, rayP, cidP, cnt, right)
+    if cb.fallback is not None:
+        best_t, best_g, best_u, best_v = _retrace_suspects_closest(
+            cb, ro, rd, t_min1, t_max1, (ovf > 0) | (lost > 0),
+            (best_t, best_g, best_u, best_v))
     return best_t[:, None], best_g, best_u[:, None], best_v[:, None], n_ovf
 
 
@@ -1163,7 +1242,8 @@ def _traverse_compact_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max):
     cand, live, ovf = _descend_compact(cb, ro, 1.0 / rd, t_min1[:, None],
                                        t_max1[:, None])
     budget = cb.pair_mults[2] * Q
-    rayP, cidP, dropped, cnt, right = _flat_pairs(cand, live, Q, budget)
+    rayP, cidP, dropped, cnt, right, lost = _flat_pairs(cand, live, Q,
+                                                        budget)
     n_ovf = jnp.sum(ovf) + dropped
     if DEDUP_PAIRS and _dedup_supported(cb, budget):
         t_p, _, _, _, rayC, okS = _test_pairs_dedup(
@@ -1171,18 +1251,21 @@ def _traverse_compact_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max):
         hit_pair = ((t_p < INF) & okS).astype(jnp.int32)
         occ = jnp.zeros((Q,), jnp.int32).at[rayC].add(hit_pair,
                                                       mode="drop") > 0
-        return occ, n_ovf
-    pair_ok = rayP < Q
-    rayPc = jnp.minimum(rayP, Q - 1)
-    t_p, _, _, _ = _test_pair_batch(
-        cb, ro, rd, t_min1, t_max1, rayPc, cidP, pair_ok)
-    # Per-ray any() as one scatter-add over the pair list (~0.8 ms at the
-    # bench shape vs 2.6 ms for the r2-era (Q, k_leaf) gather-back —
-    # tools/microbench_reduce.py; XLA's sort-based scatter expansion is
-    # cheap at P = pair-budget size).
-    hit_pair = ((t_p < INF) & pair_ok).astype(jnp.int32)
-    occ = jnp.zeros((Q,), jnp.int32).at[rayPc].add(hit_pair,
-                                                   mode="drop") > 0
+    else:
+        pair_ok = rayP < Q
+        rayPc = jnp.minimum(rayP, Q - 1)
+        t_p, _, _, _ = _test_pair_batch(
+            cb, ro, rd, t_min1, t_max1, rayPc, cidP, pair_ok)
+        # Per-ray any() as one scatter-add over the pair list (~0.8 ms at
+        # the bench shape vs 2.6 ms for the r2-era (Q, k_leaf) gather-back
+        # — tools/microbench_reduce.py; XLA's sort-based scatter expansion
+        # is cheap at P = pair-budget size).
+        hit_pair = ((t_p < INF) & pair_ok).astype(jnp.int32)
+        occ = jnp.zeros((Q,), jnp.int32).at[rayPc].add(hit_pair,
+                                                       mode="drop") > 0
+    if cb.fallback is not None:
+        occ = _retrace_suspects_anyhit(
+            cb, ro, rd, t_min1, t_max1, (ovf > 0) | (lost > 0), occ)
     return occ, n_ovf
 
 
@@ -1201,7 +1284,7 @@ def compact_stats(cb: ClusterBVH, ro, rd, t_min, t_max):
     cand, live, overflow = _descend_compact(
         cb, ro, 1.0 / rd, t_min1[:, None], t_max1[:, None])
     budget = cb.pair_mults[2] * Q
-    rayP, _, dropped, _, _ = _flat_pairs(cand, live, Q, budget)
+    rayP, _, dropped, _, _, _ = _flat_pairs(cand, live, Q, budget)
     n_live = jnp.sum((rayP < Q).astype(jnp.int32))
     return n_live, jnp.sum(overflow) + dropped
 
@@ -1300,7 +1383,8 @@ def autotune_frontiers(scene: Scene, ro, rd, slack: float = 1.5,
     per-level hit counts of the given sample rays (max over rays x slack),
     instead of the grid heuristic — tighter caps mean smaller sorts and
     fewer block gathers, with the overflow risk quantified by the sample.
-    Sample rays should cover the workload (camera rays + bounce-like rays).
+    Sample rays should cover the workload; prefer autotune_for_render,
+    which probes the REAL wavefront population instead of a proxy.
     """
     cb = build_cluster_bvh(scene, tile=tile, dense_start=dense_start)
     counts = np.asarray(level_hit_counts(jax.tree.map(jnp.asarray, cb),
@@ -1310,44 +1394,136 @@ def autotune_frontiers(scene: Scene, ro, rd, slack: float = 1.5,
         need = int(counts[:, l].max())
         caps.append(int(min(lv.shape[0], max(8, round(need * slack)))))
     # The compact path's flat pair budget is SHARED across the batch
-    # (pair_mults[-1] x Q slots), so it is sized from the measured MEAN
-    # cluster hits per ray, not the max.
-    mean_leaf = float(counts[:, -1].mean())
-    leaf_mult = max(4, int(np.ceil(mean_leaf * slack)))
+    # (pair_mults[-1] x Q slots).  r3 sized it from the MEAN per-ray hits,
+    # which the real mixed-depth wavefront falsified (BENCH_AUTOTUNE=1
+    # truncated 171k candidates, VERDICT r3 weak #1): a batch of Q rays can
+    # ALL be coherent-high at once.  Sized from the max like the caps.
+    max_leaf_hits = float(counts[:, -1].max())
+    leaf_mult = max(4, int(np.ceil(max_leaf_hits * slack)))
     pair_mults = (8, 8, leaf_mult)
     return build_cluster_bvh(scene, tile=tile, frontiers=tuple(caps),
                              k_leaf=caps[-1], pair_budget=pair_budget,
                              dense_start=dense_start, pair_mults=pair_mults)
 
 
+def attach_fallback(cb: ClusterBVH, scene: Scene,
+                    max_leaf: int = 4) -> ClusterBVH:
+    """Return a copy of ``cb`` carrying the exact-retrace fallback (a
+    PackedBVH): any ray whose candidates overflow a static budget is
+    re-traced through the exact per-ray octant walk, so truncation can
+    only cost time, never hits."""
+    from tpu_pt.bvh.native import build_packed_any
+
+    return ClusterBVH(cb.levels, cb.tiles, cb.tile_gid, cb.frontiers,
+                      cb.k_leaf, cb.pair_budget, pair_mults=cb.pair_mults,
+                      levels16=cb.levels16,
+                      fallback=build_packed_any(scene, max_leaf=max_leaf))
+
+
+def autotune_for_render(scene: Scene, cam, cfg, queue: int = 4096,
+                        segments: int = 8, warm_steps: int = 6,
+                        probe_steps: int = 10, slack: float = 1.3,
+                        tile: int = TILE, dense_start: int = 512,
+                        pair_budget: int | None = None,
+                        exact_fallback: bool = True) -> ClusterBVH:
+    """Size the capacity contract from the REAL wavefront population.
+
+    r3's tuner sampled camera + random interior rays and sized the pair
+    budget from the mean; the actual mixed-depth wavefront falsified both
+    (VERDICT r3: 171k truncated candidates, -3.3% image energy).  This one
+    runs the production ``wavefront._step`` itself — ``segments`` short
+    runs starting at strided pixel offsets so the whole image contributes —
+    on a DOUBLED-cap probe BVH (so measured need is not clipped by the caps
+    being measured), records per level the max per-ray candidate width and
+    the max batch-total live pairs over every closest-hit AND shadow batch,
+    and rebuilds with caps = measured max x ``slack``.  With
+    ``exact_fallback`` the result also carries the packed-walk retrace, so
+    even a population outside the probed envelope only costs time.
+    """
+    from tpu_pt.render import wavefront as W
+    from tpu_pt.render.driver import _intersectors_counted
+
+    cb0 = build_cluster_bvh(scene, tile=tile, dense_start=dense_start)
+    wide_caps = tuple(min(lv.shape[0], 2 * c)
+                      for lv, c in zip(cb0.levels, cb0.frontiers))
+    probe_cb = build_cluster_bvh(
+        scene, tile=tile, dense_start=dense_start, frontiers=wide_caps,
+        k_leaf=wide_caps[-1],
+        pair_mults=(cb0.pair_mults[0], cb0.pair_mults[1],
+                    2 * cb0.pair_mults[2]))
+    scene_d = jax.device_put(scene)
+    probe_d = jax.device_put(probe_cb)
+    ifn, ofn = _intersectors_counted("cluster", probe_d)
+    key = jax.random.key(7)
+    L = len(probe_cb.levels)
+    n_pix = cfg.n_pixels
+    Q = min(queue, n_pix * cfg.spp)
+
+    @jax.jit
+    def probe_segment(pix_lo, n_pix_local):
+        st = W.init_queue(Q, n_pix)
+
+        def warm(s, _):
+            s, _ = W._step(scene_d, cam, cfg, key, ifn, ofn, s, pix_lo,
+                           n_pix_local, jnp.int32(0), cfg.spp)
+            return s, None
+
+        st, _ = jax.lax.scan(warm, st, None, length=warm_steps)
+
+        def body(carry, _):
+            s, need_max, pair_max = carry
+            probes = []
+            s, _ = W._step(scene_d, cam, cfg, key, ifn, ofn, s, pix_lo,
+                           n_pix_local, jnp.int32(0), cfg.spp,
+                           ray_probe=probes)
+            for ro, rd, t_max in probes:
+                collect = []
+                _, live, _ = _descend_compact(
+                    probe_d, ro, 1.0 / rd, jnp.zeros_like(t_max), t_max,
+                    collect=collect)
+                need = jnp.stack([jnp.max(n) for n, _ in collect])
+                need_max = jnp.maximum(need_max, need)
+                pair_max = jnp.maximum(
+                    pair_max, jnp.sum(live, dtype=jnp.int32))
+            return (s, need_max, pair_max), None
+
+        (_, need_max, pair_max), _ = jax.lax.scan(
+            body, (st, jnp.zeros((L,), jnp.int32), jnp.int32(0)), None,
+            length=probe_steps)
+        return need_max, pair_max
+
+    need_max = np.zeros((L,), np.int64)
+    pair_max = 0
+    for i in range(segments):
+        lo = (n_pix // segments) * i
+        nm, pm = probe_segment(jnp.int32(lo), jnp.int32(n_pix - lo))
+        need_max = np.maximum(need_max, np.asarray(nm))
+        pair_max = max(pair_max, int(pm))
+
+    caps = tuple(
+        int(min(lv.shape[0], max(8, int(np.ceil(n * slack)) + 2)))
+        for lv, n in zip(probe_cb.levels, need_max))
+    leaf_mult = max(2, int(np.ceil(pair_max * slack / Q)))
+    tuned = build_cluster_bvh(
+        scene, tile=tile, dense_start=dense_start, frontiers=caps,
+        k_leaf=caps[-1], pair_budget=pair_budget,
+        pair_mults=(cb0.pair_mults[0], cb0.pair_mults[1], leaf_mult))
+    return attach_fallback(tuned, scene) if exact_fallback else tuned
+
+
 def autotune_for_camera(scene: Scene, cam, width: int, height: int,
                         n: int = 2048, slack: float = 1.5,
                         pair_budget: int | None = None,
-                        seed: int = 7) -> ClusterBVH:
-    """autotune_frontiers with the standard sample-ray recipe: n CONTIGUOUS
-    image-center camera rays (the wavefront respawns rays in pixel order,
-    so coherent blocks — which share clusters and run ~1.4x the random-
-    pixel candidate load — are the binding population), n camera rays
-    through random pixels, and n random interior rays (bounce stand-ins).
-    Used by bench.py and the CLI --autotune flag."""
-    from tpu_pt.core.camera import generate_rays, pixel_xy
+                        seed: int = 7, queue: int = 4096) -> ClusterBVH:
+    """Back-compat wrapper: autotune_for_render with a default path-tracing
+    config at the given resolution (4 bounces + RR — the standard render
+    workload).  Used by the CLI --autotune flag."""
+    from tpu_pt.config import RenderConfig
 
-    lo = np.asarray(scene.vertices, np.float32).min(0)
-    hi = np.asarray(scene.vertices, np.float32).max(0)
-    k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
-    pix_blk = (width * height) // 2 + jnp.arange(n, dtype=jnp.int32)
-    pix_rnd = jax.random.randint(k1, (n,), 0, width * height)
-    pix = jnp.concatenate([pix_blk, pix_rnd])
-    xy = pixel_xy(width, height, pix, jnp.full((2 * n, 2), 0.5))
-    ro_c, rd_c = generate_rays(cam, xy)
-    ro_r = jax.random.uniform(k2, (n, 3), minval=jnp.asarray(lo),
-                              maxval=jnp.asarray(hi))
-    rd_r = jax.random.normal(k3, (n, 3))
-    rd_r = rd_r / jnp.linalg.norm(rd_r, axis=-1, keepdims=True)
-    ro_s = jnp.concatenate([ro_c, ro_r]).astype(jnp.float32)
-    rd_s = jnp.concatenate([rd_c, rd_r]).astype(jnp.float32)
-    return autotune_frontiers(scene, ro_s, rd_s, slack=slack,
-                              pair_budget=pair_budget)
+    cfg = RenderConfig(width=width, height=height, spp=1, max_depth=4,
+                       rr_start=2, rr_prob=0.7)
+    return autotune_for_render(scene, cam, cfg, queue=queue, slack=slack,
+                               pair_budget=pair_budget)
 
 
 def candidate_stats(cb: ClusterBVH, ro, rd, t_min, t_max):

@@ -86,6 +86,7 @@ def cmd_render(args) -> int:
 
         from tpu_pt.render.wavefront import render_wavefront_counts
 
+        fallback_on = False
         if args.backend == "cluster":
             if args.bvh == "lbvh":
                 from tpu_pt.bvh.cluster import build_cluster_device
@@ -93,17 +94,24 @@ def cmd_render(args) -> int:
                 scene = jax.device_put(scene)
                 bvh = jax.jit(build_cluster_device)(scene)
             elif args.autotune:
-                # Frontier caps + pair budget sized from measured hit
-                # counts of camera + interior sample rays — the capacity
-                # recipe for scenes denser than the grid-heuristic default
-                # (e.g. the atrium interior).
-                from tpu_pt.bvh.cluster import autotune_for_camera
+                # Frontier caps + pair budget sized from the REAL wavefront
+                # population (warmed mixed-depth probe runs across the
+                # image) — the capacity recipe for scenes denser than the
+                # grid-heuristic default (e.g. the atrium interior).
+                from tpu_pt.bvh.cluster import autotune_for_render
 
-                bvh = autotune_for_camera(scene, cam, cfg.width, cfg.height)
+                bvh = autotune_for_render(scene, cam, cfg, queue=args.queue,
+                                          exact_fallback=not
+                                          args.no_exact_fallback)
+                fallback_on = not args.no_exact_fallback
             else:
-                from tpu_pt.bvh.cluster import build_cluster_bvh
+                from tpu_pt.bvh.cluster import (attach_fallback,
+                                                build_cluster_bvh)
 
                 bvh = build_cluster_bvh(scene)
+                if not args.no_exact_fallback:
+                    bvh = attach_fallback(bvh, scene)
+                    fallback_on = True
             wf_backend = "cluster"
         else:  # "wavefront"/"packed": octant skip-pointer traversal
             if args.bvh == "lbvh":
@@ -123,10 +131,15 @@ def cmd_render(args) -> int:
             scene, cam, cfg, key, bvh, queue=args.queue, backend=wf_backend)
         img = np.asarray(img)
         n_overflow = int(np.asarray(novf))
-        if n_overflow:
+        if n_overflow and fallback_on:
+            print(f"note: {n_overflow} BVH candidates overflowed static "
+                  "budgets; the affected rays were re-traced through the "
+                  "exact fallback (image is exact, render slightly slower)",
+                  file=sys.stderr)
+        elif n_overflow:
             print(f"WARNING: {n_overflow} BVH candidates truncated by the "
                   "capacity contract — the image may be missing hits; "
-                  "re-run with --autotune (or raise the cluster caps)",
+                  "re-run with --autotune (or drop --no-exact-fallback)",
                   file=sys.stderr)
     dt = time.time() - t0
 
@@ -236,7 +249,12 @@ def main(argv=None) -> int:
                     help="BVH build: host SAH (native/C++) or device LBVH")
     pr.add_argument("--autotune", action="store_true",
                     help="size cluster frontier caps + pair budget from "
-                         "measured hit counts (use for dense interiors)")
+                         "probe runs of the real wavefront (use for dense "
+                         "interiors)")
+    pr.add_argument("--no-exact-fallback", action="store_true",
+                    help="skip the packed-BVH exact retrace of rays whose "
+                         "candidates overflow static budgets (saves the "
+                         "fallback build + HBM; overflow then drops hits)")
     pr.set_defaults(fn=cmd_render)
 
     pb = sub.add_parser("dump-bvh", help="print BVH structure stats")

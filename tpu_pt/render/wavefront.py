@@ -104,8 +104,15 @@ def _respawn(cam, cfg: RenderConfig, key, st: QueueState, pix_lo, n_pix_local,
 
 
 def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
-          st: QueueState, pix_lo, n_pix_local, spp_lo, spp_count) -> QueueState:
-    """One wavefront iteration: respawn → intersect → shade/NEE → scatter."""
+          st: QueueState, pix_lo, n_pix_local, spp_lo, spp_count,
+          ray_probe: list | None = None) -> QueueState:
+    """One wavefront iteration: respawn → intersect → shade/NEE → scatter.
+
+    ray_probe: observability hook — when a list is passed, every traversal's
+    actual ray batch is appended as (ro, rd, t_max (Q,1)); entry 0 is the
+    closest-hit batch, the rest are the NEE shadow batches.  This is the
+    REAL mixed-depth population the capacity autotuner must cover
+    (cluster.autotune_for_render; VERDICT r3 task 1b)."""
     st = _respawn(cam, cfg, key, st, pix_lo, n_pix_local, spp_lo, spp_count)
     Q = st.ro.shape[0]
     n_closest = jnp.sum(st.alive[:, 0].astype(jnp.int32))  # rays traced now
@@ -123,6 +130,8 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     # BVH walk inside every remat chunk of the differentiable scan (measured
     # the dominant cost of the backward pass; see BASELINE.md config 4).
     sg = jax.lax.stop_gradient
+    if ray_probe is not None:
+        ray_probe.append((st.ro, st.rd, t_max))
     hit, n_ovf = intersect_fn(sg(scene), sg(st.ro), sg(st.rd), t_min, t_max)
     si = shade_info(scene, st.ro, st.rd, hit)
     wo_world = -st.rd
@@ -171,9 +180,11 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
             # Masked lanes get a negative range: trivial miss, no pair work.
             # Detached for the same reason as the closest-hit traversal: the
             # occlusion bit is boolean, so no gradient ever flows through it.
+            sh_tmax = jnp.where(mask, ls.dist * (1.0 - 1e-3), -1.0)
+            if ray_probe is not None:
+                ray_probe.append((shadow_o, ls.wi, sh_tmax))
             occ, ovf_s = occluded_fn(
-                sg(scene), sg(shadow_o), sg(ls.wi),
-                sg(jnp.where(mask, ls.dist * (1.0 - 1e-3), -1.0)))
+                sg(scene), sg(shadow_o), sg(ls.wi), sg(sh_tmax))
             n_ovf = n_ovf + ovf_s
             w = f * ls.radiance * cos_s / (ls.pdf * ns)
             contrib = contrib + jnp.where(mask & ~occ, st.beta * w, 0.0)
@@ -209,6 +220,21 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     return st, (n_closest, n_shadow, n_ovf)
 
 
+def init_queue(Q: int, n_pix_local: int) -> QueueState:
+    """Fresh all-dead queue + zero accumulator (the scan/while carry)."""
+    return QueueState(
+        ro=jnp.zeros((Q, 3), jnp.float32),
+        rd=jnp.concatenate([jnp.zeros((Q, 2)), jnp.ones((Q, 1))], -1),
+        beta=jnp.zeros((Q, 3), jnp.float32),
+        ray_id=jnp.full((Q,), -1, jnp.int32),
+        depth=jnp.zeros((Q,), jnp.int32),
+        include_le=jnp.zeros((Q, 1), bool),
+        alive=jnp.zeros((Q, 1), bool),
+        next_sample=jnp.int32(0),
+        accum=jnp.zeros((n_pix_local, 3), jnp.float32),
+    )
+
+
 def n_steps(cfg: RenderConfig, queue: int, n_pix: int = 0,
             spp_count: int = 0) -> int:
     """Static upper bound on wavefront iterations: every step consumes Q
@@ -240,17 +266,7 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
     spp_count = spp_count or cfg.spp
     intersect_fn, occluded_fn = _intersectors_counted(backend, bvh)
     Q = min(queue, n_pix_local * spp_count)
-    st = QueueState(
-        ro=jnp.zeros((Q, 3), jnp.float32),
-        rd=jnp.concatenate([jnp.zeros((Q, 2)), jnp.ones((Q, 1))], -1),
-        beta=jnp.zeros((Q, 3), jnp.float32),
-        ray_id=jnp.full((Q,), -1, jnp.int32),
-        depth=jnp.zeros((Q,), jnp.int32),
-        include_le=jnp.zeros((Q, 1), bool),
-        alive=jnp.zeros((Q, 1), bool),
-        next_sample=jnp.int32(0),
-        accum=jnp.zeros((n_pix_local, 3), jnp.float32),
-    )
+    st = init_queue(Q, n_pix_local)
     steps = n_steps(cfg, Q, n_pix_local, spp_count)
     pix_lo = jnp.int32(pix_lo)
     spp_lo = jnp.int32(spp_lo)
