@@ -55,6 +55,33 @@ def test_sharded_render_nondivisible_pixels(setup):
     np.testing.assert_allclose(img_n, img_1, rtol=1e-4, atol=1e-6)
 
 
+def test_interleaved_shards_bit_identical_with_stats(setup):
+    """Round-robin pixel interleaving (the static mitigation for SURVEY.md
+    §2 r15's dynamic tile assignment) must produce the bit-exact
+    single-device image — counter-based RNG makes ANY pixel partition
+    exact — including with a padded (non-divisible) pixel count, and the
+    per-shard load counters must account for every traced segment."""
+    scene, packed = setup
+    cfg = RenderConfig(width=18, height=18, spp=2, max_depth=2)
+    cam = cornell.camera(18, 18)
+    key = jax.random.key(3)
+    mesh = make_mesh()
+    img_1 = np.asarray(render_wavefront(scene, cam, cfg, key, packed,
+                                        queue=512, backend="packed"))
+    img_i, stats = render_sharded(scene, cam, cfg, key, packed, mesh,
+                                  queue=512, backend="packed",
+                                  interleave=True, with_stats=True)
+    img_c = np.asarray(render_sharded(scene, cam, cfg, key, packed, mesh,
+                                      queue=512, backend="packed"))
+    np.testing.assert_array_equal(np.asarray(img_i), img_c)
+    np.testing.assert_allclose(np.asarray(img_i), img_1, rtol=1e-4,
+                               atol=1e-6)
+    assert stats["steps_run"].shape == (8,)
+    assert (stats["steps_run"] > 0).all()
+    assert stats["n_closest"].sum() > 0
+    assert stats["n_overflow"].sum() == 0  # packed backend is exact
+
+
 def test_sharded_grads_match_unsharded(setup):
     scene, packed = setup
     cfg = RenderConfig(width=8, height=8, spp=2, max_depth=1)

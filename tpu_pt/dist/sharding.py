@@ -15,10 +15,15 @@ MPI/sockets, §3.3).  The TPU-native design has NO transport code at all
     transpose for the replicated parameters.
 
 Load balance: the reference needed *dynamic* tile assignment because its
-tiles had wildly-varying cost (SURVEY.md §2 row 15).  The wavefront design
-removes most of that variance — each chip's queue is always full regardless
-of which pixels terminate early — so a static equal split of pixels loses
-little; chips only drain-idle at the very tail.
+tiles had wildly-varying cost (SURVEY.md §2 row 15).  Here each shard's
+wavefront queue stays full regardless of which pixels terminate early, so
+per-shard cost tracks the shard's total path-segment count, not its pixel
+count.  MEASURED on the 8-device CPU mesh (tools/measure_balance.py,
+atrium 256²): contiguous blocks still carry a real segment imbalance
+(different image regions have different mean path length), and round-robin
+pixel interleaving (``interleave=True``) collapses it to ~the drain tail —
+see BASELINE.md "Multi-chip load balance" for the recorded numbers.
+``render_sharded(with_stats=True)`` returns the per-shard counters.
 
 Multi-host: call ``jax.distributed.initialize()`` before building the mesh
 (``init_distributed``); everything else is identical — the mesh just spans
@@ -63,12 +68,25 @@ def _pad_pixels(n_pix: int, n_shards: int) -> int:
 
 
 def render_sharded(scene: Scene, cam, cfg: RenderConfig, key, bvh, mesh: Mesh,
-                   queue: int = 1 << 15, backend: str = "bvh"):
+                   queue: int = 1 << 15, backend: str = "bvh",
+                   interleave: bool = False, with_stats: bool = False):
     """Tile-sharded render over `mesh` -> (H, W, 3) on host.
 
-    Each shard renders pixels [shard*block, (shard+1)*block); ray ids are
-    global, so the result is bit-identical to the single-device render
-    (tests/test_dist.py asserts this on the 8-device CPU mesh).
+    interleave=False: shard s renders the contiguous pixel block
+    [s*block, (s+1)*block).  interleave=True: shard s renders pixels
+    {s, s+n, s+2n, ...} — round-robin over the image, so every shard sees
+    a statistically identical pixel mix regardless of where the expensive
+    regions are.  This is the static answer to the reference's *dynamic*
+    master/worker tile assignment (SURVEY.md §2 r15): dynamic stealing
+    exists to fix cost imbalance between contiguous tiles, and round-robin
+    interleaving removes that imbalance up-front with zero communication.
+    Ray ids are global either way, so both layouts produce the bit-exact
+    single-device image (tests/test_dist.py asserts this on the 8-device
+    CPU mesh; tools/measure_balance.py records the measured imbalance).
+
+    with_stats=True also returns per-shard measured load counters
+    (steps_run, n_closest, n_shadow, n_overflow) — the observability that
+    sizes the imbalance (VERDICT r3 task 4).
     """
     n = mesh.devices.size
     padded = _pad_pixels(cfg.n_pixels, n)
@@ -77,25 +95,45 @@ def render_sharded(scene: Scene, cam, cfg: RenderConfig, key, bvh, mesh: Mesh,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(), P("tile")),
-        out_specs=P("tile"),
+        out_specs=(P("tile"), P("tile")) if with_stats else P("tile"),
         # The wavefront loop carries start replicated and become shard-varying
         # (they depend on the shard's pixel range); disable the static
         # varying-axes check — test_dist.py proves the semantics.
         check_vma=False,
     )
     def shard_render(scene_r, cam_r, bvh_r, shard_ids):
-        pix_lo = shard_ids[0] * block
-        accum = wavefront_accum(
-            scene_r, cam_r, cfg, key, bvh_r, queue, backend, pix_lo, block
-        )
-        return accum
+        s = shard_ids[0]
+        pix_lo = s if interleave else s * block
+        stride = n if interleave else 1
+        if with_stats:
+            accum, (nc, ns, novf, n_iter) = wavefront_accum(
+                scene_r, cam_r, cfg, key, bvh_r, queue, backend, pix_lo,
+                block, pix_stride=stride, with_counts=True, fast=True)
+            stats = jnp.stack(
+                [n_iter, nc, ns, novf]).astype(jnp.int32)[None, :]
+            return accum, stats
+        return wavefront_accum(
+            scene_r, cam_r, cfg, key, bvh_r, queue, backend, pix_lo, block,
+            pix_stride=stride)
 
     shard_ids = jnp.arange(n, dtype=jnp.int32)
     # jit the shard_map: eager shard_map can't evaluate the closed_call the
     # remat-chunked scan introduces (and jit is the production mode anyway).
-    accum = jax.jit(shard_render)(scene, cam, bvh, shard_ids)
+    out = jax.jit(shard_render)(scene, cam, bvh, shard_ids)
+    accum, stats = out if with_stats else (out, None)
+    if interleave:
+        # Global row s*block + j holds pixel s + j*n; invert the layout.
+        accum = accum.reshape(n, block, 3).transpose(1, 0, 2).reshape(
+            padded, 3)
     img = (accum / cfg.spp)[: cfg.n_pixels]
-    return img.reshape(cfg.height, cfg.width, 3)
+    img = img.reshape(cfg.height, cfg.width, 3)
+    if with_stats:
+        return img, dict(
+            steps_run=np.asarray(stats[:, 0]),
+            n_closest=np.asarray(stats[:, 1]),
+            n_shadow=np.asarray(stats[:, 2]),
+            n_overflow=np.asarray(stats[:, 3]))
+    return img
 
 
 def loss_and_grad_sharded(params, scene: Scene, cam, cfg: RenderConfig, key,

@@ -61,17 +61,19 @@ class QueueState(NamedTuple):
 
 
 def _respawn(cam, cfg: RenderConfig, key, st: QueueState, pix_lo, n_pix_local,
-             spp_lo, spp_count) -> QueueState:
+             spp_lo, spp_count, pix_stride: int = 1) -> QueueState:
     """Fill dead lanes with fresh camera samples from the remaining budget.
 
-    The sample stream covers pixels [pix_lo, pix_lo + n_pix_local) × samples
-    [spp_lo, spp_lo + spp_count); with pix_lo=0, n_pix_local=n_pixels,
-    spp_lo=0, spp_count=cfg.spp this is the whole image.  Tile sharding
-    (tpu_pt/dist) gives each chip its own contiguous pixel range, and
-    progressive/checkpointed rendering (render/progressive.py) its spp
-    chunk; ray_ids — and therefore random numbers — are *globally*
-    consistent either way: sharded/chunked renders sum to the one-shot image
-    bit-for-bit.
+    The sample stream covers pixels {pix_lo + j*pix_stride : j <
+    n_pix_local} × samples [spp_lo, spp_lo + spp_count); with pix_lo=0,
+    pix_stride=1, n_pix_local=n_pixels, spp_lo=0, spp_count=cfg.spp this is
+    the whole image.  Tile sharding (tpu_pt/dist) gives each chip its own
+    pixel set — contiguous (stride 1) or round-robin INTERLEAVED (stride =
+    #shards, the load-balance mitigation of SURVEY.md §2 r15's dynamic
+    assignment) — and progressive/checkpointed rendering
+    (render/progressive.py) its spp chunk; ray_ids — and therefore random
+    numbers — are *globally* consistent either way: sharded/chunked renders
+    sum to the one-shot image bit-for-bit.
     """
     total = jnp.int32(n_pix_local * spp_count)
     dead = ~st.alive[:, 0]
@@ -82,7 +84,8 @@ def _respawn(cam, cfg: RenderConfig, key, st: QueueState, pix_lo, n_pix_local,
 
     # Global sample id keyed off the global pixel index (RNG consistency).
     pixel_local = cand // spp_count
-    pixel = (pix_lo + jnp.where(spawn, pixel_local, 0)).astype(jnp.int32)
+    pixel = (pix_lo + jnp.where(spawn, pixel_local, 0) * pix_stride
+             ).astype(jnp.int32)
     new_id = jnp.where(
         spawn, pixel * cfg.spp + spp_lo + cand % spp_count, st.ray_id
     )
@@ -105,7 +108,8 @@ def _respawn(cam, cfg: RenderConfig, key, st: QueueState, pix_lo, n_pix_local,
 
 def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
           st: QueueState, pix_lo, n_pix_local, spp_lo, spp_count,
-          ray_probe: list | None = None) -> QueueState:
+          ray_probe: list | None = None,
+          pix_stride: int = 1) -> QueueState:
     """One wavefront iteration: respawn → intersect → shade/NEE → scatter.
 
     ray_probe: observability hook — when a list is passed, every traversal's
@@ -113,7 +117,8 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     closest-hit batch, the rest are the NEE shadow batches.  This is the
     REAL mixed-depth population the capacity autotuner must cover
     (cluster.autotune_for_render; VERDICT r3 task 1b)."""
-    st = _respawn(cam, cfg, key, st, pix_lo, n_pix_local, spp_lo, spp_count)
+    st = _respawn(cam, cfg, key, st, pix_lo, n_pix_local, spp_lo, spp_count,
+                  pix_stride)
     Q = st.ro.shape[0]
     n_closest = jnp.sum(st.alive[:, 0].astype(jnp.int32))  # rays traced now
     base = 1 + st.depth * _STRIDE  # (Q,) per-lane draw base
@@ -137,7 +142,8 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     wo_world = -st.rd
     tb, bb = make_coord_space(si.ns)
     wo = to_local(wo_world, tb, bb, si.ns)
-    pixel = jnp.maximum(st.ray_id, 0) // cfg.spp - pix_lo  # local accum index
+    # Local accum index (dead lanes may land anywhere: they add 0.0).
+    pixel = (jnp.maximum(st.ray_id, 0) // cfg.spp - pix_lo) // pix_stride
 
     contrib = jnp.zeros((Q, 3), jnp.float32)
     # Miss → environment radiance (same semantics as the oracle integrator).
@@ -250,8 +256,9 @@ def n_steps(cfg: RenderConfig, queue: int, n_pix: int = 0,
 def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
                     queue: int, backend: str, pix_lo, n_pix_local: int,
                     spp_lo=0, spp_count: int = 0, with_counts: bool = False,
-                    fast: bool = False, psum_axis: str | None = None):
-    """Render pixels [pix_lo, pix_lo+n_pix_local) × samples
+                    fast: bool = False, psum_axis: str | None = None,
+                    pix_stride: int = 1):
+    """Render pixels {pix_lo + j*pix_stride : j < n_pix_local} × samples
     [spp_lo, spp_lo+spp_count) -> (n_pix_local, 3) radiance sums (divide by
     cfg.spp for the full-spp mean).  pix_lo/spp_lo may be traced.
 
@@ -288,7 +295,7 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
             st, nc, ns, novf, i = carry
             st, (c, s, o) = _step(scene, cam, cfg, key, intersect_fn,
                                   occluded_fn, st, pix_lo, n_pix_local,
-                                  spp_lo, spp_count)
+                                  spp_lo, spp_count, pix_stride=pix_stride)
             return st, nc + c, ns + s, novf + o, i + 1
 
         st, nc, ns, novf, n_iter = jax.lax.while_loop(
@@ -300,7 +307,8 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
 
     def body(st, _):
         return _step(scene, cam, cfg, key, intersect_fn, occluded_fn, st,
-                     pix_lo, n_pix_local, spp_lo, spp_count)
+                     pix_lo, n_pix_local, spp_lo, spp_count,
+                     pix_stride=pix_stride)
 
     # Differentiable path: √steps-chunked scan with rematerialization.  A
     # flat scan's adjoint stores EVERY carry (steps × (queue state + accum)
@@ -319,7 +327,7 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
             def body_c(st, _):
                 return _step(scene, cam, cfg, key, intersect_fn,
                              occluded_fn, st, pix_lo, n_pix_local, spp_lo,
-                             spp_count)
+                             spp_count, pix_stride=pix_stride)
 
             return jax.lax.scan(body_c, st, None, length=inner)
 
