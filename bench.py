@@ -89,26 +89,25 @@ def main() -> None:
             np.asarray(packed.tiles[0, 0, 0])  # fetch-sync
         elif os.environ.get("BENCH_AUTOTUNE"):
             # Frontier caps + pair budget sized from probe runs of the REAL
-            # wavefront (warmed mixed-depth population across the image),
-            # with the exact packed-walk fallback attached — VERDICT r3
-            # task 1b/1d (the r3 camera+random-ray tuner truncated 171k
-            # candidates on the headline scene).
+            # wavefront (warmed mixed-depth population across the image) —
+            # VERDICT r3 task 1b (the r3 camera+random-ray tuner truncated
+            # 171k candidates on the headline scene).  Exactness is then
+            # enforced by the verify-then-retry loop below, not an
+            # always-attached fallback.
             from tpu_pt.bvh.cluster import autotune_for_render
 
             packed = autotune_for_render(scene, cam, cfg, queue=queue,
-                                         pair_budget=pb)
+                                         pair_budget=pb,
+                                         exact_fallback=False)
             print(f"# autotuned frontiers: {packed.frontiers} "
                   f"pair_mults: {packed.pair_mults}")
         else:
-            from tpu_pt.bvh.cluster import attach_fallback, build_cluster_bvh
+            from tpu_pt.bvh.cluster import build_cluster_bvh
 
             tile = int(os.environ.get("BENCH_TILE", "128"))
             ds = int(os.environ.get("BENCH_DENSE_START", "512"))
             packed = build_cluster_bvh(scene, tile=tile, pair_budget=pb,
                                        dense_start=ds)
-            if os.environ.get("BENCH_FALLBACK", "1") != "0":
-                # Exact retrace of overflowed rays (never drops hits).
-                packed = attach_fallback(packed, scene)
     elif bvh_kind == "lbvh":
         from tpu_pt.bvh.lbvh import build_lbvh
 
@@ -197,6 +196,25 @@ def main() -> None:
     img, n_closest, n_shadow, n_ovf, n_iter = run(key)
     t_compile_run = time.time() - t0
 
+    # Verify-then-retry exactness (VERDICT r3 task 1d): the warmup run
+    # MEASURED the capacity contract end-to-end; only if it overflowed do
+    # we pay for the exact path — re-render with the packed-walk fallback
+    # attached (overflowed rays re-traced exactly).  An always-attached
+    # fallback was measured at +266 s compile and -12% runtime on the
+    # clean headline (BENCH r4 session log), all for a branch that never
+    # fires when the caps hold.
+    exact_retry = False
+    if n_ovf and backend == "cluster":
+        from tpu_pt.bvh.cluster import attach_fallback
+
+        print(f"# note: {n_ovf} candidates overflowed; re-rendering with "
+              "the exact fallback attached", file=__import__("sys").stderr)
+        packed_d = jax.device_put(attach_fallback(packed, scene))
+        exact_retry = True
+        t0 = time.time()
+        img, n_closest, n_shadow, n_ovf, n_iter = run(key)
+        t_compile_run += time.time() - t0
+
     # Median of 3 timed runs (VERDICT r2: the headline must be the
     # reproducible number, with spread recorded, not the best observation).
     times = []
@@ -206,9 +224,8 @@ def main() -> None:
         times.append(time.time() - t0)
     dt = sorted(times)[1]
     if n_ovf:
-        fb = (backend == "cluster" and getattr(packed, "fallback", None)
-              is not None)
-        msg = ("corrected exactly by the packed-walk fallback" if fb
+        msg = ("corrected exactly by the packed-walk fallback"
+               if exact_retry
                else "TRUNCATED — image may drop hits; use BENCH_AUTOTUNE=1")
         print(f"# note: capacity-contract overflow: {n_ovf} candidates "
               f"{msg}", file=__import__("sys").stderr)
@@ -236,6 +253,7 @@ def main() -> None:
             "steps": int(steps),
             "steps_run": int(n_iter),
             "overflow": int(n_ovf),
+            "exact_retry": exact_retry,
             "n_closest": int(n_closest),
             "n_shadow": int(n_shadow),
             "bvh_build_s": round(t_build, 2),

@@ -60,3 +60,66 @@ def test_render_pallas_matches_oracle(setup):
     ref = render(scene, cam, cfg, key, backend="brute")
     img = render(scene, cam, cfg, key, backend="pallas", bvh=ps)
     np.testing.assert_allclose(img, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_checked_pair_kernel_passes_and_catches_poison():
+    """Sanitizer coverage for the Pallas pair kernel (SURVEY.md §5,
+    VERDICT r3 task 6): the output-contract checks pass on a healthy
+    cluster BVH and FIRE on a NaN-poisoned tile tensor."""
+    from jax.experimental import checkify
+
+    from tpu_pt.bvh import cluster as C
+    from tpu_pt.kernels.cluster_isect import B, pair_tile_isect_checked
+
+    scene = cornell.cornell("spheres")
+    cb = C.build_cluster_bvh(scene)  # tile=128 (kernel layout)
+    P = 2 * B
+    k1, k2 = jax.random.split(jax.random.key(5))
+    ro = jax.random.uniform(k1, (P, 3), minval=-3, maxval=3)
+    rd = jax.random.normal(k2, (P, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    rays = jnp.zeros((P, 16), jnp.float32)
+    rays = rays.at[:, 0:3].set(ro).at[:, 3:6].set(rd)
+    rays = rays.at[:, 7].set(1e30).at[:, 8].set(1.0)
+    cid = jnp.zeros((P,), jnp.int32)
+
+    err, out = checkify.checkify(
+        pair_tile_isect_checked, errors=checkify.user_checks)(
+        jnp.asarray(cb.tiles), cid, rays)
+    err.throw()  # healthy: no error
+    assert out.shape == (P, 8)
+
+    poisoned = jnp.asarray(cb.tiles).at[0, 0:9, :].set(jnp.nan)
+    err, _ = checkify.checkify(
+        pair_tile_isect_checked, errors=checkify.user_checks)(
+        poisoned, cid, rays)
+    with pytest.raises(checkify.JaxRuntimeError):
+        err.throw()
+
+
+def test_render_wavefront_checked_passes_and_catches_poison():
+    """debug_checks render: clean scene passes every invariant; a
+    NaN-poisoned vertex trips the checkify error."""
+    from jax.experimental import checkify
+
+    from tpu_pt.bvh.native import build_packed_any
+    from tpu_pt.config import RenderConfig
+    from tpu_pt.render.wavefront import (render_wavefront,
+                                         render_wavefront_checked)
+
+    scene = cornell.cornell("spheres")
+    pk = build_packed_any(scene)
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=2)
+    cam = cornell.camera(16, 16)
+    key = jax.random.key(0)
+    img = render_wavefront_checked(scene, cam, cfg, key, pk, queue=256,
+                                   backend="packed")
+    ref = render_wavefront(scene, cam, cfg, key, pk, queue=256,
+                           backend="packed", fast=False)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
+
+    bad = scene._replace(
+        vertices=jnp.asarray(scene.vertices).at[0].set(jnp.nan))
+    with pytest.raises(checkify.JaxRuntimeError):
+        render_wavefront_checked(bad, cam, cfg, key, pk, queue=256,
+                                 backend="packed")

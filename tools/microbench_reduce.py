@@ -44,10 +44,10 @@ def timed(fn, *args):
 
 
 def main():
-    key = jax.random.key(0)
-    t_p = jax.random.uniform(key, (P,), jnp.float32)
-    g_p = jax.random.randint(key, (P,), 0, 1 << 20, jnp.int32)
-    cnt = jnp.clip(jax.random.poisson(key, 2.0, (Q,)), 0, K).astype(jnp.int32)
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    t_p = jax.random.uniform(k1, (P,), jnp.float32)
+    g_p = jax.random.randint(k2, (P,), 0, 1 << 20, jnp.int32)
+    cnt = jnp.clip(jax.random.poisson(k3, 2.0, (Q,)), 0, K).astype(jnp.int32)
     right = jnp.cumsum(cnt)
     base = (right - cnt).astype(jnp.int32)
     lane = jnp.arange(K, dtype=jnp.int32)[None, :]
@@ -84,14 +84,10 @@ def main():
         print(f"{name}: {dt*1e3:8.3f} ms/iter  (Q={Q} K={K} P={P})")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def main2():
-    key = jax.random.key(0)
-    t_p = jax.random.uniform(key, (P,), jnp.float32)
-    rayP = jnp.sort(jax.random.randint(key, (P,), 0, Q, jnp.int32))
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    t_p = jax.random.uniform(k1, (P,), jnp.float32)
+    rayP = jnp.sort(jax.random.randint(k2, (P,), 0, Q, jnp.int32))
 
     def d_scatter_min(t_p, rayP, _cnt, acc):
         tp = t_p + acc * 1e-20
@@ -108,7 +104,7 @@ def main2():
         return jnp.sum(widx.astype(jnp.float32)) * 1e-9 + jnp.sum(
             jnp.where(jnp.isfinite(best), best, 0.0))
 
-    cnt = jnp.clip(jax.random.poisson(key, 2.0, (Q,)), 0, K).astype(jnp.int32)
+    cnt = jnp.clip(jax.random.poisson(k3, 2.0, (Q,)), 0, K).astype(jnp.int32)
     for name, fn in [("d scatter-min        ", d_scatter_min),
                      ("e scatter-min argmin ", e_scatter_argmin)]:
         dt = timed(fn, t_p, rayP, cnt)
@@ -116,4 +112,5 @@ def main2():
 
 
 if __name__ == "__main__":
+    main()
     main2()

@@ -83,15 +83,8 @@ def main():
     # A. the real step
     timed(lambda s: step(s)[0], "A full step            ")
 
-    # B. no accumulator scatter: replace pixel scatter-add with a fold into
-    # lane 0 (keeps all other work).
-    def step_noaccum(s):
-        s2, _ = step(s)
-        acc = s.accum.at[0].add(jnp.sum(s2.accum[:1] * 0.0))
-        return s2._replace(accum=acc)
-
-    # (B approximates by re-using step then discarding; scatter still runs
-    # inside step — instead rebuild: cheaper to time scatter alone.)
+    # B. the accumulator scatter alone (cheaper to time in isolation than
+    # to ablate it out of the fused step).
     def scatter_only(s):
         pix = jnp.maximum(s.ray_id, 0) // cfg.spp
         acc = s.accum.at[pix].add(s.beta, mode="drop")

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -86,7 +87,7 @@ def cmd_render(args) -> int:
 
         from tpu_pt.render.wavefront import render_wavefront_counts
 
-        fallback_on = False
+        host_scene = scene
         if args.backend == "cluster":
             if args.bvh == "lbvh":
                 from tpu_pt.bvh.cluster import build_cluster_device
@@ -101,17 +102,11 @@ def cmd_render(args) -> int:
                 from tpu_pt.bvh.cluster import autotune_for_render
 
                 bvh = autotune_for_render(scene, cam, cfg, queue=args.queue,
-                                          exact_fallback=not
-                                          args.no_exact_fallback)
-                fallback_on = not args.no_exact_fallback
+                                          exact_fallback=False)
             else:
-                from tpu_pt.bvh.cluster import (attach_fallback,
-                                                build_cluster_bvh)
+                from tpu_pt.bvh.cluster import build_cluster_bvh
 
                 bvh = build_cluster_bvh(scene)
-                if not args.no_exact_fallback:
-                    bvh = attach_fallback(bvh, scene)
-                    fallback_on = True
             wf_backend = "cluster"
         else:  # "wavefront"/"packed": octant skip-pointer traversal
             if args.bvh == "lbvh":
@@ -125,17 +120,56 @@ def cmd_render(args) -> int:
             wf_backend = "packed"
         bvh = jax.device_put(bvh)
         scene = jax.device_put(scene)
-        # np.asarray fetches = the only reliable sync over the device tunnel
-        # (block_until_ready returns early there).
-        img, _, _, novf, _ = render_wavefront_counts(
-            scene, cam, cfg, key, bvh, queue=args.queue, backend=wf_backend)
-        img = np.asarray(img)
-        n_overflow = int(np.asarray(novf))
-        if n_overflow and fallback_on:
+
+        def _render_once():
+            if args.checkpoint:
+                # Progressive, crash-resumable render: spp-chunked
+                # accumulation checkpointed to npz after every chunk;
+                # kill-and-resume produces the bit-exact one-shot image
+                # (the reference's progressive display + 'D' buffer dump,
+                # SURVEY.md §2 r16/§3.4, made headless + durable).
+                from tpu_pt.render.progressive import render_progressive
+
+                def on_chunk(spp_done, preview):
+                    print(f"progress: {spp_done}/{cfg.spp} spp",
+                          file=sys.stderr)
+                    if args.preview:
+                        film.save(args.preview, np.asarray(preview))
+
+                img, novf = render_progressive(
+                    scene, cam, cfg, key, bvh, checkpoint=args.checkpoint,
+                    chunk_spp=args.chunk_spp, queue=args.queue,
+                    backend=wf_backend, on_chunk=on_chunk,
+                    return_counts=True)
+                return np.asarray(img), int(novf)
+            # np.asarray fetches = the only reliable sync over the device
+            # tunnel (block_until_ready returns early there).
+            img, _, _, novf, _ = render_wavefront_counts(
+                scene, cam, cfg, key, bvh, queue=args.queue,
+                backend=wf_backend)
+            return np.asarray(img), int(np.asarray(novf))
+
+        img, n_overflow = _render_once()
+        if n_overflow and wf_backend == "cluster" \
+                and not args.no_exact_fallback:
+            # Verify-then-retry exactness: the counted render PROVED the
+            # capacity contract broke, so re-render with the packed-walk
+            # fallback attached (overflowed rays re-traced exactly).  The
+            # fallback program costs ~5x the compile and ~12% runtime
+            # (measured on the 1.3M-tri headline), so it is only paid when
+            # the fast program is actually wrong.
+            from tpu_pt.bvh.cluster import attach_fallback
+
             print(f"note: {n_overflow} BVH candidates overflowed static "
-                  "budgets; the affected rays were re-traced through the "
-                  "exact fallback (image is exact, render slightly slower)",
+                  "budgets; re-rendering with the exact fallback attached",
                   file=sys.stderr)
+            if args.checkpoint and os.path.exists(args.checkpoint):
+                os.remove(args.checkpoint)  # truncated accum is tainted
+            bvh = jax.device_put(attach_fallback(
+                jax.tree.map(np.asarray, bvh), host_scene))
+            img, n_overflow = _render_once()
+            print(f"note: exact retry done ({n_overflow} overflows "
+                  "re-traced; image is exact)", file=sys.stderr)
         elif n_overflow:
             print(f"WARNING: {n_overflow} BVH candidates truncated by the "
                   "capacity contract — the image may be missing hits; "
@@ -251,6 +285,15 @@ def main(argv=None) -> int:
                     help="size cluster frontier caps + pair budget from "
                          "probe runs of the real wavefront (use for dense "
                          "interiors)")
+    pr.add_argument("--checkpoint", default=None, metavar="STATE.npz",
+                    help="progressive render: checkpoint the spp-chunked "
+                         "accumulator here after every chunk and resume "
+                         "from it if present (bit-exact vs one-shot)")
+    pr.add_argument("--preview", default=None, metavar="PREVIEW.png",
+                    help="with --checkpoint: (re)write the current mean "
+                         "image here after every spp chunk")
+    pr.add_argument("--chunk-spp", type=int, default=None,
+                    help="spp per progressive chunk (default cfg.spp_chunk)")
     pr.add_argument("--no-exact-fallback", action="store_true",
                     help="skip the packed-BVH exact retrace of rays whose "
                          "candidates overflow static budgets (saves the "

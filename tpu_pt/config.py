@@ -30,6 +30,11 @@ class RenderConfig:
     # Numerics
     dtype: str = "float32"
     eps: float = 1e-4                # shadow/secondary ray offset
+    # Sanitizer (SURVEY.md §5): when True the wavefront step runs
+    # checkify.check invariants (finite throughput/radiance, positive hit
+    # t, valid barycentrics) — render via render_wavefront_checked (or any
+    # checkify.checkify wrapper) to surface them as errors.
+    debug_checks: bool = False
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -291,3 +291,59 @@ def pair_tile_isect(tiles, cid, rays):
         out_shape=jax.ShapeDtypeStruct((P, 8), jnp.float32),
         interpret=_interpret(),
     )(cid, rays, tiles)
+
+
+def check_pair_out(out, rays, label: str = "pair_tile_isect"):
+    """Sanitizer for the kernel's output contract (SURVEY.md §5: Pallas
+    can't host checkify.check inside the kernel body, so invariants are
+    asserted on the results).  Call under a checkify.checkify wrapper.
+
+    Checks, per pair row [t, lane, u, v, ...] against rays [.., t_min,
+    t_max, live, ..]: a reported hit has t inside [t_min, t_max], a finite
+    lane index in [0, 128), and finite u/v; dead pairs report t = INF."""
+    from jax.experimental import checkify
+
+    t = out[:, 0]
+    lane = out[:, 1]
+    hit = t < INF
+    t_min, t_max, live = rays[:, 6], rays[:, 7], rays[:, 8] > 0.5
+    checkify.check(jnp.all(jnp.where(hit, (t >= t_min) & (t <= t_max),
+                                     True)),
+                   label + ": hit t outside the query range")
+    checkify.check(jnp.all(jnp.where(hit, (lane >= 0) & (lane < LANES),
+                                     True)),
+                   label + ": lane index out of range")
+    checkify.check(jnp.all(jnp.isfinite(jnp.where(hit[:, None],
+                                                  out[:, 2:4], 0.0))),
+                   label + ": non-finite barycentrics")
+    checkify.check(jnp.all(jnp.where(live, True, ~hit)),
+                   label + ": dead pair reported a hit")
+
+
+def _check_pair_in(tiles, cid, label):
+    """Input sanitation: NaN geometry silently MASKS hits (every NaN
+    comparison is False → miss), so poisoned tiles are undetectable from
+    the output alone — the guard must look at the operands."""
+    from jax.experimental import checkify
+
+    checkify.check(jnp.all(jnp.isfinite(tiles)),
+                   label + ": non-finite tile geometry")
+    checkify.check(
+        jnp.all((cid >= 0) & (cid < tiles.shape[0])),
+        label + ": cluster id out of range")
+
+
+def pair_tile_isect_checked(tiles, cid, rays):
+    """pair_tile_isect + input/output contract checks (under checkify)."""
+    _check_pair_in(tiles, cid, "pair_tile_isect")
+    out = pair_tile_isect(tiles, cid, rays)
+    check_pair_out(out, rays)
+    return out
+
+
+def pair_tile_isect_dedup_checked(tiles, cid, rays):
+    """pair_tile_isect_dedup + contract checks (under checkify)."""
+    _check_pair_in(tiles, cid, "pair_tile_isect_dedup")
+    out = pair_tile_isect_dedup(tiles, cid, rays)
+    check_pair_out(out, rays, label="pair_tile_isect_dedup")
+    return out

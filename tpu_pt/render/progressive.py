@@ -42,10 +42,13 @@ def render_progressive(
     queue: int = 1 << 17,
     backend: str = "packed",
     on_chunk: Optional[Callable] = None,
+    return_counts: bool = False,
 ):
     """Render cfg.spp samples in chunks of ``chunk_spp`` (default
     cfg.spp_chunk), checkpointing to ``checkpoint`` (npz) after each chunk
-    and resuming from it if present.  Returns (H, W, 3) radiance.
+    and resuming from it if present.  Returns (H, W, 3) radiance — or
+    ((H, W, 3), n_overflow) with ``return_counts`` (the summed
+    capacity-contract truncations, for the CLI's verify-then-retry).
 
     ``on_chunk(spp_done, image_so_far)`` is the progressive-preview hook
     (the reference's live tile blitting, headless)."""
@@ -53,33 +56,40 @@ def render_progressive(
     state_key = _state_key(cfg, key)
     accum = np.zeros((cfg.n_pixels, 3), np.float32)
     spp_done = 0
+    n_ovf = 0
 
     if checkpoint and os.path.exists(checkpoint):
         data = np.load(checkpoint, allow_pickle=False)
         if str(data["state_key"]) == state_key:
             accum = data["accum"]
             spp_done = int(data["spp_done"])
+            n_ovf = int(data["n_ovf"]) if "n_ovf" in data else 0
 
     accum_fn = jax.jit(
         wavefront_accum,
-        static_argnames=("cfg", "queue", "backend", "n_pix_local", "spp_count"),
+        static_argnames=("cfg", "queue", "backend", "n_pix_local",
+                         "spp_count", "fast", "with_counts"),
     )
 
     while spp_done < cfg.spp:
         n = min(chunk_spp, cfg.spp - spp_done)
-        part = accum_fn(
+        part, (_, _, novf, _) = accum_fn(
             scene, cam, cfg, key, bvh, queue=queue, backend=backend,
             pix_lo=0, n_pix_local=cfg.n_pixels, spp_lo=spp_done, spp_count=n,
+            fast=True,  # forward-only: early-exit while_loop
+            with_counts=True,
         )
         accum = accum + np.asarray(jax.block_until_ready(part))
+        n_ovf += int(np.asarray(novf))
         spp_done += n
         if checkpoint:
             tmp = checkpoint + ".tmp.npz"
-            np.savez(tmp, accum=accum, spp_done=spp_done, state_key=state_key)
+            np.savez(tmp, accum=accum, spp_done=spp_done,
+                     state_key=state_key, n_ovf=n_ovf)
             os.replace(tmp, checkpoint)
         if on_chunk is not None:
             preview = (accum / spp_done).reshape(cfg.height, cfg.width, 3)
             on_chunk(spp_done, preview)
 
-    img = accum / cfg.spp
-    return img.reshape(cfg.height, cfg.width, 3)
+    img = (accum / cfg.spp).reshape(cfg.height, cfg.width, 3)
+    return (img, n_ovf) if return_counts else img

@@ -138,6 +138,29 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     if ray_probe is not None:
         ray_probe.append((st.ro, st.rd, t_max))
     hit, n_ovf = intersect_fn(sg(scene), sg(st.ro), sg(st.rd), t_min, t_max)
+    if cfg.debug_checks:
+        # Sanitizer (SURVEY.md §5; VERDICT r3 task 6): invariant checks on
+        # the traversal contract, compiled in only when the static config
+        # flag is set.  Surfaced by checkify wrappers
+        # (render_wavefront_checked) — zero cost otherwise.
+        from jax.experimental import checkify
+
+        ht = hit.t[:, 0]
+        hh = hit.hit[:, 0]
+        checkify.check(
+            jnp.all(jnp.where(hh, (ht > 0.0) & jnp.isfinite(ht), True)),
+            "traversal: hit.t must be positive finite where hit")
+        checkify.check(
+            jnp.all(jnp.where(hh, ht <= t_max[:, 0], True)),
+            "traversal: hit.t beyond t_max")
+        uv = hit.u[:, 0] + hit.v[:, 0]
+        checkify.check(
+            jnp.all(jnp.where(hh, (hit.u[:, 0] >= -1e-4)
+                              & (hit.v[:, 0] >= -1e-4) & (uv <= 1 + 1e-4),
+                              True)),
+            "traversal: barycentrics outside the triangle")
+        checkify.check(jnp.all(jnp.isfinite(st.beta)),
+                       "wavefront: non-finite path throughput")
     si = shade_info(scene, st.ro, st.rd, hit)
     wo_world = -st.rd
     tb, bb = make_coord_space(si.ns)
@@ -195,6 +218,12 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
             w = f * ls.radiance * cos_s / (ls.pdf * ns)
             contrib = contrib + jnp.where(mask & ~occ, st.beta * w, 0.0)
 
+    if cfg.debug_checks:
+        from jax.experimental import checkify
+
+        checkify.check(
+            jnp.all(jnp.isfinite(jnp.where(st.alive, contrib, 0.0))),
+            "shading: non-finite radiance contribution")
     accum = st.accum.at[pixel].add(
         jnp.where(st.alive, contrib, 0.0), mode="drop"
     )
@@ -381,6 +410,44 @@ def render_wavefront(scene: Scene, cam, cfg: RenderConfig, key, bvh,
                             0, cfg.n_pixels, fast=fast)
     img = accum / cfg.spp
     return img.reshape(cfg.height, cfg.width, 3)
+
+
+def render_wavefront_checked(scene: Scene, cam, cfg: RenderConfig, key, bvh,
+                             queue: int = 1 << 17, backend: str = "bvh"):
+    """Sanitizer render (SURVEY.md §5 "race detection / sanitizers"): runs
+    the wavefront with ``cfg.debug_checks`` forced on under
+    ``checkify.checkify`` and RAISES on the first violated invariant
+    (non-finite throughput/radiance, negative or out-of-range hit t, bad
+    barycentrics).  The functional-core analogue of the reference's
+    debug-build asserts — compiled checks, usable on TPU.  Uses the scan
+    path (checkify's control-flow support is complete there)."""
+    from jax.experimental import checkify
+
+    cfg = cfg.replace(debug_checks=True)
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "queue", "backend"))
+    def run(scene, cam, cfg, key, bvh, queue, backend):
+        def fn(scene, cam, key, bvh):
+            # Input sanitation FIRST: NaN geometry silently masks into
+            # misses downstream (every NaN comparison is False), so it is
+            # undetectable from outputs — the same rationale as the Pallas
+            # kernels' _check_pair_in.
+            for name, arr in (("vertices", scene.vertices),
+                              ("normals", scene.normals),
+                              ("sph_center", scene.sph_center),
+                              ("sph_radius", scene.sph_radius)):
+                checkify.check(jnp.all(jnp.isfinite(arr)),
+                               f"scene.{name} has non-finite values")
+            accum = wavefront_accum(scene, cam, cfg, key, bvh, queue,
+                                    backend, 0, cfg.n_pixels, fast=False)
+            return (accum / cfg.spp).reshape(cfg.height, cfg.width, 3)
+
+        return checkify.checkify(fn, errors=checkify.user_checks)(
+            scene, cam, key, bvh)
+
+    err, img = run(scene, cam, cfg, key, bvh, queue, backend)
+    err.throw()
+    return img
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "queue", "backend"))
