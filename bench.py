@@ -135,15 +135,27 @@ def main() -> None:
 
         # Measured forward path-segment counts (same accounting as the
         # forward bench); the adjoint revisits every segment.
-        _, nc, ns_, _, _ = render_wavefront_counts(
+        _, nc, ns_, _, n_iter = render_wavefront_counts(
             scene_d, cam, cfg, key, packed_d, queue=queue, backend=backend)
         n_closest = float(np.asarray(nc))
         n_shadow = float(np.asarray(ns_))
+        # Tighter static scan bound from the MEASURED executed-step count
+        # (VERDICT r3 task 5: the worst-case bound pads the grad scan
+        # 2.8x).  +20% slack covers key-to-key variation; the done flag is
+        # checked per run and a failed hint falls back to the full bound.
+        hint = int(int(np.asarray(n_iter)) * 1.2) + cfg.max_depth + 2
 
         def run_grad(k):
-            loss, grads = loss_and_grad_wavefront(
+            out = loss_and_grad_wavefront(
                 params, scene_d, cam, cfg, k, target, packed_d,
-                backend=backend, queue=queue)
+                backend=backend, queue=queue, steps_hint=hint)
+            loss, grads, done = out
+            if not bool(np.asarray(done)):  # hint too small: full bound
+                print("# note: steps_hint insufficient; full-bound rerun",
+                      file=__import__("sys").stderr)
+                loss, grads = loss_and_grad_wavefront(
+                    params, scene_d, cam, cfg, k, target, packed_d,
+                    backend=backend, queue=queue)
             # Sync by fetching the loss + one grad scalar.
             return (float(np.asarray(loss)),
                     float(np.asarray(grads["albedo"]).ravel()[0]))

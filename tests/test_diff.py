@@ -203,3 +203,40 @@ class TestLossAndGrad:
         # Non-optimized params also get finite grads.
         assert np.isfinite(np.asarray(grads["vertices"])).all()
         assert np.isfinite(np.asarray(grads["light_radiance"])).all()
+
+
+def test_steps_hint_matches_full_bound():
+    """A sufficient steps_hint must change nothing but the scan length:
+    same loss, same grads (bit-for-bit), done=True; an absurdly small hint
+    must report done=False (the caller's signal to redo full-bound)."""
+    import numpy as np
+
+    from tpu_pt.bvh.native import build_packed_any
+    from tpu_pt.diff.adjoint import loss_and_grad_wavefront
+    from tpu_pt.diff.params import split
+    from tpu_pt.scene import cornell
+
+    scene = cornell.cornell("spheres")
+    pk = build_packed_any(scene)
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3)
+    cam = cornell.camera(16, 16)
+    key = jax.random.key(2)
+    params, _ = split(scene)
+    target = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+
+    loss0, g0 = loss_and_grad_wavefront(params, scene, cam, cfg, key,
+                                        target, pk, backend="packed",
+                                        queue=128)
+    # Full bound for this config: n_steps = 16*16*2*4/128 + 4 = 20.
+    loss1, g1, done = loss_and_grad_wavefront(params, scene, cam, cfg, key,
+                                              target, pk, backend="packed",
+                                              queue=128, steps_hint=18)
+    assert bool(done)
+    assert float(loss0) == float(loss1)
+    for k in g0:
+        np.testing.assert_array_equal(np.asarray(g0[k]), np.asarray(g1[k]))
+
+    _, _, done_small = loss_and_grad_wavefront(params, scene, cam, cfg, key,
+                                               target, pk, backend="packed",
+                                               queue=128, steps_hint=3)
+    assert not bool(done_small)

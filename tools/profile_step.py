@@ -97,29 +97,66 @@ def main():
                                jnp.int32(0), cfg.spp),
           "C respawn only          ")
 
-    # D. closest-hit traversal only (from current state rays)
+    # D/E from the RESPAWNED state: the in-step traversals run right after
+    # respawn at ~full occupancy — profiling them from the post-step state
+    # (~20% alive; dead lanes spawn no candidate work) understates them
+    # 5x (r4 session: post-step D read 0.88 ms while the full step held
+    # ~8 ms of traversal).
+    def respawned(s):
+        return W._respawn(cam, cfg, key, s, jnp.int32(0), n_pix,
+                          jnp.int32(0), cfg.spp)
+
     def closest_only(s):
+        s = respawned(s)
         t_min = jnp.zeros((Q, 1), jnp.float32)
         t_max = jnp.where(s.alive, 1e30, -1.0)
         hit, _ = intersect_fn(scene_d, s.ro, s.rd, t_min, t_max)
         return s._replace(beta=s.beta + hit.t * 1e-20)
 
-    timed(closest_only, "D closest traverse only ")
+    timed(closest_only, "D respawn+closest       ")
 
-    # E. occlusion traversal only
+    # E. occlusion traversal only (shadow rays approximated by the same
+    # origins at full occupancy; real shadow batches are ~60% live).
     def occl_only(s):
+        s = respawned(s)
         occ, _ = occluded_fn(scene_d, s.ro, s.rd,
                              jnp.where(s.alive[:, 0], 10.0, -1.0)[:, None])
         return s._replace(beta=s.beta + occ.astype(jnp.float32) * 1e-20)
 
-    timed(occl_only, "E occluded traverse only")
+    timed(occl_only, "E respawn+occluded      ")
 
-    # F. D+E back to back (how XLA overlaps two descents)
+    # F. D+E back to back (how XLA schedules two full descents)
     def both(s):
-        s = closest_only(s)
-        return occl_only(s)
+        s = respawned(s)
+        t_min = jnp.zeros((Q, 1), jnp.float32)
+        t_max = jnp.where(s.alive, 1e30, -1.0)
+        hit, _ = intersect_fn(scene_d, s.ro, s.rd, t_min, t_max)
+        occ, _ = occluded_fn(scene_d, s.ro, s.rd,
+                             jnp.where(s.alive[:, 0], 10.0, -1.0)[:, None])
+        return s._replace(beta=s.beta + hit.t * 1e-20
+                          + occ.astype(jnp.float32) * 1e-20)
 
-    timed(both, "F closest+occluded      ")
+    timed(both, "F respawn+closest+occl  ")
+
+    # G. ONE fused (2Q,) closest traversal serving both queries (the
+    # VERDICT r3 task 2a candidate: occlusion for the shadow half is just
+    # best_t < t_max).  Also times the 2Q-shape compile indirectly.
+    def fused(s):
+        s = respawned(s)
+        ro2 = jnp.concatenate([s.ro, s.ro])
+        rd2 = jnp.concatenate([s.rd, s.rd])
+        t_min2 = jnp.zeros((2 * Q, 1), jnp.float32)
+        t_max2 = jnp.concatenate([
+            jnp.where(s.alive, 1e30, -1.0),
+            jnp.where(s.alive[:, 0], 10.0, -1.0)[:, None]])
+        hit, _ = intersect_fn(scene_d, ro2, rd2, t_min2, t_max2)
+        return s._replace(beta=s.beta + hit.t[:Q] * 1e-20
+                          + (hit.t[Q:] < 10.0) * 1e-20)
+
+    import time as _t
+    t0 = _t.time()
+    timed(fused, "G fused (2Q) traversal  ")
+    print(f"   (G compile+3runs wall: {_t.time()-t0:.1f}s)")
 
 
 if __name__ == "__main__":

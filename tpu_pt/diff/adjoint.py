@@ -84,22 +84,36 @@ def loss_and_grad(params, scene: Scene, cam, cfg: RenderConfig, key, target,
     return jax.value_and_grad(loss_fn)(params)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "backend", "queue"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "backend", "queue", "steps_hint"))
 def loss_and_grad_wavefront(params, scene: Scene, cam, cfg: RenderConfig,
                             key, target, bvh, backend: str = "cluster",
-                            queue: int = 1 << 14):
+                            queue: int = 1 << 14,
+                            steps_hint: int | None = None):
     """Differentiable step through the PRODUCTION path (persistent-wavefront
     scan + cluster intersector) on one device — BASELINE config 4 at real
     sizes.  The wavefront scan is √steps-chunk rematerialized
     (render/wavefront.py), so adjoint memory is O((√steps)·queue) and a
-    1024² grad render fits on a chip.  target: (n_pixels, 3)."""
+    1024² grad render fits on a chip.  target: (n_pixels, 3).
+
+    steps_hint: static cap on the scan length — the differentiable scan
+    cannot early-exit, and the worst-case bound pads it 2.8x (459/1285
+    executed on the headline; the 2.4x grad ablation row of BASELINE.md).
+    Callers derive the hint from a counting forward run (+ slack) and MUST
+    check the returned ``done`` flag: (loss, grads, done) is returned when
+    a hint is given; done=False means the hint was too small and the loss
+    dropped samples — redo with the full bound."""
     from tpu_pt.render.wavefront import wavefront_accum
 
     def loss_fn(p):
         sc = merge(p, scene)
-        accum = wavefront_accum(sc, cam, cfg, key, bvh, queue, backend,
-                                0, cfg.n_pixels)
+        accum, done = wavefront_accum(sc, cam, cfg, key, bvh, queue,
+                                      backend, 0, cfg.n_pixels,
+                                      steps_hint=steps_hint, with_done=True)
         img = accum / cfg.spp
-        return jnp.mean((img - target) ** 2)
+        return jnp.mean((img - target) ** 2), done
 
-    return jax.value_and_grad(loss_fn)(params)
+    (loss, done), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    if steps_hint is not None:
+        return loss, grads, done
+    return loss, grads

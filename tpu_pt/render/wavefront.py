@@ -286,7 +286,8 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
                     queue: int, backend: str, pix_lo, n_pix_local: int,
                     spp_lo=0, spp_count: int = 0, with_counts: bool = False,
                     fast: bool = False, psum_axis: str | None = None,
-                    pix_stride: int = 1):
+                    pix_stride: int = 1, steps_hint: int | None = None,
+                    with_done: bool = False):
     """Render pixels {pix_lo + j*pix_stride : j < n_pix_local} × samples
     [spp_lo, spp_lo+spp_count) -> (n_pix_local, 3) radiance sums (divide by
     cfg.spp for the full-spp mean).  pix_lo/spp_lo may be traced.
@@ -304,6 +305,15 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
     Q = min(queue, n_pix_local * spp_count)
     st = init_queue(Q, n_pix_local)
     steps = n_steps(cfg, Q, n_pix_local, spp_count)
+    if steps_hint is not None:
+        # Tighter STATIC bound for the differentiable scan (VERDICT r3
+        # task 5: the worst-case bound assumes every path survives to max
+        # depth; RR + misses kill ~2/3, measured 459/1285 executed on the
+        # headline).  The hint is a static compile key supplied by the
+        # caller (e.g. the measured executed-step count of a counting run,
+        # plus slack); pass with_done=True and CHECK the returned flag —
+        # an insufficient hint silently drops samples otherwise.
+        steps = max(1, min(steps, int(steps_hint)))
     pix_lo = jnp.int32(pix_lo)
     spp_lo = jnp.int32(spp_lo)
 
@@ -330,9 +340,12 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
         st, nc, ns, novf, n_iter = jax.lax.while_loop(
             cond, wbody, (st, jnp.int32(0), jnp.int32(0), jnp.int32(0),
                           jnp.int32(0)))
-        if with_counts:
-            return st.accum, (nc, ns, novf, n_iter)
-        return st.accum
+        ret = (st.accum, (nc, ns, novf, n_iter)) if with_counts \
+            else st.accum
+        if with_done:
+            done = ~jnp.any(st.alive) & (st.next_sample >= total)
+            return ret, done
+        return ret
 
     def body(st, _):
         return _step(scene, cam, cfg, key, intersect_fn, occluded_fn, st,
@@ -391,9 +404,12 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
         counts = jax.tree.map(lambda c: c.reshape(-1), counts)
     else:
         st, counts = jax.lax.scan(body, st, None, length=steps)
-    if with_counts:
-        return st.accum, counts  # (steps,) each: closest, shadow, overflow
-    return st.accum
+    ret = (st.accum, counts) if with_counts else st.accum
+    if with_done:
+        done = ~jnp.any(st.alive) & (
+            st.next_sample >= jnp.int32(n_pix_local * spp_count))
+        return ret, done
+    return ret
 
 
 @functools.partial(jax.jit,
