@@ -47,3 +47,24 @@ def test_directional_light_constant():
     np.testing.assert_allclose(np.asarray(ls.radiance), 2.0)
     np.testing.assert_allclose(np.asarray(ls.wi), [[0, 1, 0]] * 2, atol=1e-6)
     assert float(np.asarray(ls.dist).min()) > 1e29
+
+
+def test_spot_light_falloff_exponent():
+    """COLLADA <falloff_exponent>: inside the cone, radiance scales by
+    cos(axis angle)^exponent (edge_x[1]); exponent 0 keeps the hard cone."""
+    e = 3.0
+    mk = lambda expo: make_lights([dict(
+        kind=LIGHT_SPOT, position=(0, 2, 0), normal=(0, -1, 0),
+        edge_x=(np.cos(np.deg2rad(45.0)), expo, 0), radiance=(4, 4, 4))])
+    p = jnp.asarray([
+        [0.0, 0.0, 0.0],    # on axis: cos=1, falloff 1 regardless of e
+        [0.4, 1.0, 0.0],    # off-axis inside the cone
+        [3.0, 1.9, 0.0],    # outside: still 0
+    ])
+    u = jnp.full((3, 2), 0.5)
+    r0 = np.asarray(sample_light(mk(0.0), 0, p, u).radiance)
+    re = np.asarray(sample_light(mk(e), 0, p, u).radiance)
+    np.testing.assert_allclose(re[0], r0[0], rtol=1e-6)     # on-axis equal
+    cos_axis = 1.0 / np.sqrt(1 + 0.4**2)
+    np.testing.assert_allclose(re[1], r0[1] * cos_axis**e, rtol=1e-5)
+    np.testing.assert_allclose(re[2], 0.0)

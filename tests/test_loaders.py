@@ -214,3 +214,55 @@ class TestColladaNormalsAndSpheres:
                                      np.asarray(scene.tri_idx))
         assert np.abs(np.asarray(scene.normals)[:3] - recomputed[:3]).max() \
             > 0.1
+
+
+DAE_EXTRA_LIGHTS = DAE_TEXT.replace(
+    '<light id="pt"><technique_common><point><color>2 2 2</color></point>'
+    '</technique_common></light>',
+    '<light id="pt"><technique_common><spot><color>2 2 2</color>'
+    '<falloff_angle>60</falloff_angle><falloff_exponent>2.5</falloff_exponent>'
+    '</spot></technique_common></light>\n'
+    '  <light id="quadlight"><technique_common><point><color>9 8 7</color>'
+    '</point></technique_common>'
+    '<extra><technique profile="ext"><area>'
+    '<size_x>0.6</size_x><size_y>0.4</size_y><color>9 8 7</color>'
+    '</area></technique></extra></light>',
+).replace(
+    '<node id="lightnode"><translate>0 3 0</translate>'
+    '<instance_light url="#pt"/></node>',
+    '<node id="lightnode"><translate>0 3 0</translate>'
+    '<instance_light url="#pt"/></node>\n'
+    '   <node id="quadnode"><translate>0 2.9 0</translate>'
+    '<instance_light url="#quadlight"/></node>',
+)
+
+
+class TestColladaLightTail:
+    def test_spot_exponent_and_extra_area(self, tmp_path):
+        """COLLADA tail (VERDICT r3 task 8): <falloff_exponent> lands in
+        the spot row, and an <extra> area technique yields a quad light
+        with node-transform edges."""
+        import numpy as np
+
+        from tpu_pt.scene import collada
+        from tpu_pt.scene.types import LIGHT_AREA, LIGHT_SPOT
+
+        path = tmp_path / "s.dae"
+        path.write_text(DAE_EXTRA_LIGHTS)
+        scene, _ = collada.load(str(path))
+        kinds = np.asarray(scene.lights.kind)
+        spot = int(np.flatnonzero(kinds == LIGHT_SPOT)[0])
+        area = int(np.flatnonzero(kinds == LIGHT_AREA)[0])
+        ex = np.asarray(scene.lights.edge_x)
+        np.testing.assert_allclose(ex[spot, 0], np.cos(np.deg2rad(30.0)),
+                                   rtol=1e-6)          # half of 60 deg
+        np.testing.assert_allclose(ex[spot, 1], 2.5)   # exponent
+        # Area quad: 0.6 x 0.4 in the node's XY plane, emitting down -Z.
+        ey = np.asarray(scene.lights.edge_y)
+        np.testing.assert_allclose(np.linalg.norm(ex[area]), 0.6, rtol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(ey[area]), 0.4, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(scene.lights.radiance)[area],
+                                   [9, 8, 7], rtol=1e-6)
+        center = (np.asarray(scene.lights.position)[area]
+                  + 0.5 * ex[area] + 0.5 * ey[area])
+        np.testing.assert_allclose(center, [0, 2.9, 0], atol=1e-6)

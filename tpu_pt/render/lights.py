@@ -61,15 +61,20 @@ def sample_light(lights, li: int, p, u, env_map=None, env_tables=None):
     rad_a = jnp.where(cos_l > 0.0, rad, 0.0) * jnp.ones_like(p)
 
     # ---- Point light: intensity / r^2, delta.  A spot light is a point
-    # light masked to a hard cone about its axis (reference SpotLight:
-    # position + direction + cone angle); cos(half-angle) rides in
-    # edge_x[0]. ----
+    # light masked to a cone about its axis (reference SpotLight: position
+    # + direction + cone angle); cos(half-angle) rides in edge_x[0] and
+    # the COLLADA <falloff_exponent> in edge_x[1] — radiance inside the
+    # cone is scaled by cos(axis angle)^exponent (exponent 0 keeps the
+    # hard cone). ----
     dp = pos - p
     dist2p = jnp.maximum(dot(dp, dp), 1e-12)
     dist_p = jnp.sqrt(dist2p)
     wi_p = dp / dist_p
-    in_cone = dot(-wi_p, normalize(nrm)) >= ex[0]
-    spot_gain = jnp.where((kind == LIGHT_SPOT) & ~in_cone, 0.0, 1.0)
+    cos_axis = dot(-wi_p, normalize(nrm))
+    in_cone = cos_axis >= ex[0]
+    falloff = jnp.power(jnp.maximum(cos_axis, 1e-9), ex[1])
+    spot_gain = jnp.where(kind == LIGHT_SPOT,
+                          jnp.where(in_cone, falloff, 0.0), 1.0)
     rad_p = rad / dist2p * spot_gain * jnp.ones_like(p)
 
     # ---- Directional light: constant radiance from -direction, delta. ----

@@ -236,7 +236,13 @@ def load(path: str):
             yfov=float(yfov.text) if yfov is not None else None,
         )
 
-    # Lights library.
+    # Lights library.  Beyond the core schema (<point>/<directional>/
+    # <ambient>/<spot>), an <extra> technique may author an AREA light
+    # (the reference kept its Cornell quad AreaLights in <extra> data —
+    # SURVEY.md §2 r7 [MED on the exact element names]): any <extra>
+    # descendant tagged <area> (or <area_light>) with size/size_x/size_y
+    # children or attributes becomes a quad light spanning the node's
+    # local XY plane, emitting down local -Z.
     light_defs = {}
     for l in _findall(_find(root, "library_lights"), "light"):
         for el in l.iter():
@@ -246,7 +252,31 @@ def load(path: str):
                 c = tuple(_floats(col.text)[:3]) if col is not None else (1, 1, 1)
                 ang = _find(el, "falloff_angle")
                 half = float(ang.text) / 2.0 if ang is not None else 22.5
-                light_defs[l.get("id")] = (t, c, half)
+                exp_el = _find(el, "falloff_exponent")
+                expo = float(exp_el.text) if exp_el is not None else 0.0
+                light_defs[l.get("id")] = (t, c, half, expo)
+        for ex_el in l.iter():
+            if _tag(ex_el) not in ("area", "area_light"):
+                continue
+
+            def _dim(name, default):
+                ch = _find(ex_el, name)
+                if ch is not None and ch.text:
+                    return float(ch.text)
+                at = ex_el.get(name)
+                return float(at) if at is not None else default
+
+            size = _dim("size", 1.0)
+            sx = _dim("size_x", size)
+            sy = _dim("size_y", size)
+            col = None
+            for cand in (ex_el, l):
+                cc = _find(cand, "color")
+                if cc is not None:
+                    col = tuple(_floats(cc.text)[:3])
+                    break
+            light_defs[l.get("id")] = ("area", col or (1, 1, 1), (sx, sy),
+                                       0.0)
 
     # Visual scene: walk nodes, instance geometry/cameras/lights.
     verts_out: List[np.ndarray] = []
@@ -333,16 +363,31 @@ def load(path: str):
             elif t == "instance_light":
                 lid = (el.get("url") or "").lstrip("#")
                 if lid in light_defs:
-                    kind, c, half = light_defs[lid]
+                    kind, c, half, expo = light_defs[lid]
                     if kind == "spot":
                         from tpu_pt.scene.types import LIGHT_SPOT
 
                         d = -m[:3, 2]  # collada spot shines down -z
                         cos_half = float(np.cos(np.deg2rad(half)))
+                        # edge_x packs (cos half-angle, falloff exponent):
+                        # radiance is scaled by cos(axis angle)^exponent
+                        # inside the cone (COLLADA <falloff_exponent>).
                         light_rows.append(dict(
                             kind=LIGHT_SPOT, position=tuple(m[:3, 3]),
-                            normal=tuple(d), edge_x=(cos_half, 0, 0),
+                            normal=tuple(d), edge_x=(cos_half, expo, 0),
                             radiance=c,
+                        ))
+                    elif kind == "area":
+                        from tpu_pt.scene.types import LIGHT_AREA
+
+                        sx, sy = half  # (size_x, size_y) for area defs
+                        ex_v = m[:3, 0] * sx
+                        ey_v = m[:3, 1] * sy
+                        org = m[:3, 3] - 0.5 * ex_v - 0.5 * ey_v
+                        light_rows.append(dict(
+                            kind=LIGHT_AREA, position=tuple(org),
+                            edge_x=tuple(ex_v), edge_y=tuple(ey_v),
+                            normal=tuple(-m[:3, 2]), radiance=c,
                         ))
                     elif kind == "point":
                         light_rows.append(dict(
