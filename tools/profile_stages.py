@@ -158,11 +158,11 @@ def main():
     cand_c, live_c, _ = jax.jit(
         lambda ro, rd: C._descend_compact(cb_d, ro, 1.0 / rd, t_min,
                                           t_max))(ro, rd)
-    rayP, cidP, _, _, _ = jax.jit(
+    rayP, cidP, _, _, _, _ = jax.jit(
         lambda c, l: C._flat_pairs(c, l, Q, budget))(cand_c, live_c)
 
     def s_flat_pairs(ro, rd):
-        rp, cp, d, _, _ = C._flat_pairs(cand_c, live_c, Q, budget)
+        rp, cp, d, _, _, _ = C._flat_pairs(cand_c, live_c, Q, budget)
         return jnp.sum(rp.astype(jnp.float32)) * 1e-9
 
     dt = timed_loop(s_flat_pairs, ro, rd, iters)

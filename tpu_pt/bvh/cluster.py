@@ -1306,6 +1306,12 @@ GATHER_BF16 = True
 # for 8 pairs, cutting tile HBM bytes toward the distinct-cluster count
 # (measured 483 distinct / 16384 pairs on coherent bench batches, 80%
 # uniform groups).  Exact: every pair is still tested.
+# EXPERIMENT CLOSED (r4, VERDICT r3 task 2b): BENCH_DEDUP=1 on the 1.3M-tri
+# headline measured 568,787 rays/s vs 628,117 default (run 4.90 s vs
+# 4.44 s, compile 894 s vs 298 s) — the cid-sort + scatter reduce costs
+# more than the ~30x tile-byte reduction saves, because the XLA block
+# gather already streams tiles at ~176 GB/s (contiguous 6 KB blocks) and
+# is not the bottleneck.  The kernel stays as a tested sidecar.
 DEDUP_PAIRS = False
 
 
