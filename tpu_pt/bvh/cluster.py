@@ -1449,6 +1449,21 @@ def autotune_for_render(scene: Scene, cam, cfg, queue: int = 4096,
     from tpu_pt.render import wavefront as W
     from tpu_pt.render.driver import _intersectors_counted
 
+    # Probe at a bounded resolution: per-ray frontier widths are a per-ray
+    # geometric property independent of pixel count, and probing the full
+    # 1024² config measured 1,302 s of build time (r4 sweep) — a ≤512²
+    # probe sees the same populations at a fraction of the compile cost
+    # (camera still spans the full field of view; strided segments still
+    # cover the whole image).  Only the SHARED pair budget is sensitive to
+    # batch coherence (contiguous pixels share clusters, measured ~1.4x
+    # the random-pixel load), so when probing below the render resolution
+    # the pair multiplier gets an extra coherence margin.
+    coherence = 1.0
+    if cfg.n_pixels > 512 * 512:
+        scale = (cfg.n_pixels / (512 * 512)) ** 0.5
+        cfg = cfg.replace(width=max(1, round(cfg.width / scale)),
+                          height=max(1, round(cfg.height / scale)))
+        coherence = 1.25
     cb0 = build_cluster_bvh(scene, tile=tile, dense_start=dense_start)
     wide_caps = tuple(min(lv.shape[0], 2 * c)
                       for lv, c in zip(cb0.levels, cb0.frontiers))
@@ -1509,7 +1524,7 @@ def autotune_for_render(scene: Scene, cam, cfg, queue: int = 4096,
     caps = tuple(
         int(min(lv.shape[0], max(8, int(np.ceil(n * slack)) + 2)))
         for lv, n in zip(probe_cb.levels, need_max))
-    leaf_mult = max(2, int(np.ceil(pair_max * slack / Q)))
+    leaf_mult = max(2, int(np.ceil(pair_max * slack * coherence / Q)))
     tuned = build_cluster_bvh(
         scene, tile=tile, dense_start=dense_start, frontiers=caps,
         k_leaf=caps[-1], pair_budget=pair_budget,
