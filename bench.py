@@ -41,6 +41,16 @@ BASELINE_RAYS_PER_S = 330628.0  # r1: cluster backend, big-1m 1024^2 spp1 d4 q40
 
 def main() -> None:
     import jax
+
+    # Persistent XLA compilation cache: the headline program compiles in
+    # ~300 s cold (r4); cache hits cut repeat bench invocations to seconds
+    # of compile, which also de-risks driver timeouts.  run_s (the metric)
+    # is unaffected.  Opt out with BENCH_NO_CACHE=1.
+    if not os.environ.get("BENCH_NO_CACHE"):
+        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
     import numpy as np
 
