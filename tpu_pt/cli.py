@@ -50,9 +50,29 @@ def _load_scene(name: str):
     )
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (opt out: TPU_PT_NO_CACHE=1).
+    Production-size renders compile in minutes cold over the device
+    tunnel; cache hits cut repeat invocations to seconds (measured in
+    BASELINE.md)."""
+    if os.environ.get("TPU_PT_NO_CACHE"):
+        return
+    import jax
+
+    cache = os.environ.get("TPU_PT_CACHE_DIR", os.path.expanduser(
+        "~/.cache/tpu_pt_xla"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except (OSError, AttributeError):
+        pass  # cache is an optimization, never a requirement
+
+
 def cmd_render(args) -> int:
     import jax
 
+    _enable_compile_cache()
     from tpu_pt.config import RenderConfig
     from tpu_pt.render import film
 
