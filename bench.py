@@ -45,12 +45,13 @@ def main() -> None:
     # Persistent XLA compilation cache: the headline program compiles in
     # ~300 s cold (r4); cache hits cut repeat bench invocations to seconds
     # of compile, which also de-risks driver timeouts.  run_s (the metric)
-    # is unaffected.  Opt out with BENCH_NO_CACHE=1.
+    # is unaffected.  Shares the CLI's TPU_PT_CACHE_DIR/TPU_PT_NO_CACHE
+    # convention (ADVICE r4: no hardcoded absolute path); BENCH_NO_CACHE=1
+    # also opts out.
     if not os.environ.get("BENCH_NO_CACHE"):
-        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        from tpu_pt.cli import _enable_compile_cache
+
+        _enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -77,6 +78,16 @@ def main() -> None:
                        rr_start=2, rr_prob=0.7)
 
     backend = os.environ.get("BENCH_BACKEND", "cluster")
+    if os.environ.get("BENCH_SPLIT") or os.environ.get("BENCH_SPLIT_ANYHIT"):
+        # Intra-batch traversal split A/B (r5): override the measured
+        # defaults in cluster.py.
+        from tpu_pt.bvh import cluster as _cl
+
+        if os.environ.get("BENCH_SPLIT"):
+            _cl.SPLIT_CLOSEST = _cl.SPLIT_ANYHIT = int(
+                os.environ["BENCH_SPLIT"])
+        if os.environ.get("BENCH_SPLIT_ANYHIT"):
+            _cl.SPLIT_ANYHIT = int(os.environ["BENCH_SPLIT_ANYHIT"])
     if os.environ.get("BENCH_DEDUP"):
         # Cluster-major pair stage: cid-sorted pairs + masked-DMA Pallas
         # kernel (uniform groups fetch one tile for 8 pairs).
@@ -239,18 +250,41 @@ def main() -> None:
 
     # Median of 3 timed runs (VERDICT r2: the headline must be the
     # reproducible number, with spread recorded, not the best observation).
-    times = []
-    for i in range(1, 4):
+    # Exactness is enforced PER TIMED RUN (VERDICT r4 weak #2: the retry
+    # trigger used to fire on the warmup key only, so a key-dependent
+    # overflow could taint the recorded headline): any timed run that
+    # overflows without the fallback attached aborts the timing loop,
+    # attaches the exact fallback, re-warms, and restarts timing.  With the
+    # fallback attached overflow is corrected exactly in-run, so those
+    # timings stand (and the cost of the correction is IN the number).
+    while True:
+        times = []
+        ovf_runs = []
+        for i in range(1, 4):
+            t0 = time.time()
+            img, n_closest, n_shadow, n_ovf, n_iter = run(jax.random.key(i))
+            times.append(time.time() - t0)
+            ovf_runs.append(n_ovf)
+            if n_ovf and not exact_retry and backend == "cluster":
+                break
+        if not any(ovf_runs) or exact_retry or backend != "cluster":
+            break
+        from tpu_pt.bvh.cluster import attach_fallback
+
+        print(f"# note: timed run overflowed ({ovf_runs[-1]} candidates); "
+              "attaching the exact fallback and restarting timing",
+              file=__import__("sys").stderr)
+        packed_d = jax.device_put(attach_fallback(packed, scene))
+        exact_retry = True
         t0 = time.time()
-        img, n_closest, n_shadow, n_ovf, n_iter = run(jax.random.key(i))
-        times.append(time.time() - t0)
-    dt = sorted(times)[1]
+        img, n_closest, n_shadow, n_ovf, n_iter = run(key)  # re-warm
+        t_compile_run += time.time() - t0
+    n_ovf = max(ovf_runs)
     if n_ovf:
-        msg = ("corrected exactly by the packed-walk fallback"
-               if exact_retry
-               else "TRUNCATED — image may drop hits; use BENCH_AUTOTUNE=1")
+        assert exact_retry or backend != "cluster"
         print(f"# note: capacity-contract overflow: {n_ovf} candidates "
-              f"{msg}", file=__import__("sys").stderr)
+              "corrected exactly by the packed-walk fallback in-run",
+              file=__import__("sys").stderr)
 
     # Path-segment accounting: MEASURED on device — n_closest = live lanes
     # entering each intersect, n_shadow = live non-delta hits × lights × ns

@@ -287,3 +287,38 @@ def test_intersect_counted_zero_on_contract(setups):
     h2 = cl.intersect(cb, scene, ro, rd, jnp.zeros((256, 1)),
                       jnp.full((256, 1), 1e30))
     np.testing.assert_array_equal(np.asarray(hit.prim), np.asarray(h2.prim))
+
+
+def test_split_traversal_bit_identical(setups, monkeypatch):
+    """Intra-batch traversal splitting (r5: measured sub-linear batch-width
+    cost, tools/profile_split.py) must be bit-identical per ray to the
+    unsplit traversal — every stage reduces per ray, so the only possible
+    divergence is the per-sub-batch pair-budget slicing, which the test
+    scenes never hit (overflow == 0 asserted)."""
+    scene, cb = setups["big"]
+    ro, rd = _rays(2048, 13)
+    tmin = jnp.zeros((2048, 1))
+    tmax = jnp.full((2048, 1), 1e30)
+
+    monkeypatch.setattr(cl, "_split_batches", lambda Q, s: max(1, int(s)))
+    monkeypatch.setattr(cl, "SPLIT_CLOSEST", 1)
+    monkeypatch.setattr(cl, "SPLIT_ANYHIT", 1)
+    bt0, g0, u0, v0, novf0 = jax.jit(cl._traverse_compact)(
+        cb, ro, rd, tmin, tmax)
+    occ0, novfo0 = jax.jit(cl._traverse_compact_anyhit)(
+        cb, ro, rd, tmin, jnp.full((2048, 1), 2.0))
+    assert int(np.asarray(novf0)) == 0 and int(np.asarray(novfo0)) == 0
+
+    for k in (2, 4):
+        monkeypatch.setattr(cl, "SPLIT_CLOSEST", k)
+        monkeypatch.setattr(cl, "SPLIT_ANYHIT", k)
+        bt, g, u, v, novf = jax.jit(cl._traverse_compact)(
+            cb, ro, rd, tmin, tmax)
+        occ, novfo = jax.jit(cl._traverse_compact_anyhit)(
+            cb, ro, rd, tmin, jnp.full((2048, 1), 2.0))
+        assert int(np.asarray(novf)) == 0 and int(np.asarray(novfo)) == 0
+        np.testing.assert_array_equal(np.asarray(bt0), np.asarray(bt))
+        np.testing.assert_array_equal(np.asarray(g0), np.asarray(g))
+        np.testing.assert_array_equal(np.asarray(u0), np.asarray(u))
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v))
+        np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ))

@@ -72,7 +72,8 @@ def test_interleaved_shards_bit_identical_with_stats(setup):
                                   queue=512, backend="packed",
                                   interleave=True, with_stats=True)
     img_c = np.asarray(render_sharded(scene, cam, cfg, key, packed, mesh,
-                                      queue=512, backend="packed"))
+                                      queue=512, backend="packed",
+                                      interleave=False))
     np.testing.assert_array_equal(np.asarray(img_i), img_c)
     np.testing.assert_allclose(np.asarray(img_i), img_1, rtol=1e-4,
                                atol=1e-6)

@@ -1195,10 +1195,48 @@ def _retrace_suspects_anyhit(cb: ClusterBVH, ro, rd, t_min1, t_max1,
     return jax.lax.cond(jnp.any(suspect), repair, lambda o: o, occ)
 
 
+# Intra-batch traversal split (r5): run the traversal as SPLIT independent
+# sub-batches of Q/SPLIT rays each.  Measured on the headline scene
+# (tools/profile_overlap.py / profile_split.py, TPU v5e): the traversal is
+# SUB-LINEAR in batch width — two independent 2048-wide closest traversals
+# beat one 4096-wide by 12% (4.77 vs 5.40 ms) via cheaper narrow
+# sorts/intermediates plus mild XLA interleaving of the independent chains.
+# Per-ray results are bit-identical (all stages reduce per ray); only the
+# static pair budget is sliced per sub-batch, so truncation PATTERNS can
+# differ — which the overflow counter reports and verify-then-retry repairs
+# exactly, same as any other capacity miss.
+SPLIT_CLOSEST = 1
+SPLIT_ANYHIT = 1
+
+
+def _split_batches(Q: int, split: int) -> int:
+    """Effective split factor: sub-batches must stay lane-aligned and wide
+    enough that fixed per-stage costs don't dominate."""
+    k = max(1, int(split))
+    while k > 1 and (Q % k != 0 or Q // k < 1024):
+        k //= 2
+    return k
+
+
 def _traverse_compact(cb: ClusterBVH, ro, rd, t_min, t_max):
     """Closest hit: sort-free descent + one flat all-candidates pair batch
     + segmented min.  No while_loop, no best-t feedback — exact because
     every live candidate is tested.  Returns (best_t (Q,1), gid, u, v)."""
+    k = _split_batches(ro.shape[0], SPLIT_CLOSEST)
+    if k > 1:
+        h = ro.shape[0] // k
+        outs = [_traverse_compact_1(cb, ro[i * h:(i + 1) * h],
+                                    rd[i * h:(i + 1) * h],
+                                    t_min[i * h:(i + 1) * h],
+                                    t_max[i * h:(i + 1) * h])
+                for i in range(k)]
+        bt, g, u, v, novf = zip(*outs)
+        return (jnp.concatenate(bt), jnp.concatenate(g),
+                jnp.concatenate(u), jnp.concatenate(v), sum(novf))
+    return _traverse_compact_1(cb, ro, rd, t_min, t_max)
+
+
+def _traverse_compact_1(cb: ClusterBVH, ro, rd, t_min, t_max):
     Q = ro.shape[0]
     t_min1 = t_min[:, 0]
     t_max1 = t_max[:, 0]
@@ -1236,6 +1274,20 @@ def _traverse_compact(cb: ClusterBVH, ro, rd, t_min, t_max):
 
 def _traverse_compact_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max):
     """Occlusion: any tested pair with a hit in range occludes its ray."""
+    k = _split_batches(ro.shape[0], SPLIT_ANYHIT)
+    if k > 1:
+        h = ro.shape[0] // k
+        outs = [_traverse_compact_anyhit_1(cb, ro[i * h:(i + 1) * h],
+                                           rd[i * h:(i + 1) * h],
+                                           t_min[i * h:(i + 1) * h],
+                                           t_max[i * h:(i + 1) * h])
+                for i in range(k)]
+        occ, novf = zip(*outs)
+        return jnp.concatenate(occ), sum(novf)
+    return _traverse_compact_anyhit_1(cb, ro, rd, t_min, t_max)
+
+
+def _traverse_compact_anyhit_1(cb: ClusterBVH, ro, rd, t_min, t_max):
     Q = ro.shape[0]
     t_min1 = t_min[:, 0]
     t_max1 = t_max[:, 0]
@@ -1533,12 +1585,14 @@ def autotune_for_render(scene: Scene, cam, cfg, queue: int = 4096,
 
 
 def autotune_for_camera(scene: Scene, cam, width: int, height: int,
-                        n: int = 2048, slack: float = 1.5,
+                        slack: float = 1.5,
                         pair_budget: int | None = None,
-                        seed: int = 7, queue: int = 4096) -> ClusterBVH:
+                        queue: int = 4096) -> ClusterBVH:
     """Back-compat wrapper: autotune_for_render with a default path-tracing
     config at the given resolution (4 bounces + RR — the standard render
-    workload).  Used by the CLI --autotune flag."""
+    workload).  Used by the CLI --autotune flag.  (The r3-era ``n``/``seed``
+    sampling knobs are gone: the warm-wavefront tuner probes the real
+    render population, not a random ray sample — ADVICE r4.)"""
     from tpu_pt.config import RenderConfig
 
     cfg = RenderConfig(width=width, height=height, spp=1, max_depth=4,

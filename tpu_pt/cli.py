@@ -160,7 +160,11 @@ def cmd_render(args) -> int:
                     scene, cam, cfg, key, bvh, checkpoint=args.checkpoint,
                     chunk_spp=args.chunk_spp, queue=args.queue,
                     backend=wf_backend, on_chunk=on_chunk,
-                    return_counts=True)
+                    return_counts=True,
+                    # Abort on the first overflowing chunk (ADVICE r4):
+                    # the exact retry below restarts the render anyway.
+                    stop_on_overflow=(wf_backend == "cluster"
+                                      and not args.no_exact_fallback))
                 return np.asarray(img), int(novf)
             # np.asarray fetches = the only reliable sync over the device
             # tunnel (block_until_ready returns early there).

@@ -69,12 +69,15 @@ def _pad_pixels(n_pix: int, n_shards: int) -> int:
 
 def render_sharded(scene: Scene, cam, cfg: RenderConfig, key, bvh, mesh: Mesh,
                    queue: int = 1 << 15, backend: str = "bvh",
-                   interleave: bool = False, with_stats: bool = False):
+                   interleave: bool = True, with_stats: bool = False):
     """Tile-sharded render over `mesh` -> (H, W, 3) on host.
 
     interleave=False: shard s renders the contiguous pixel block
-    [s*block, (s+1)*block).  interleave=True: shard s renders pixels
-    {s, s+n, s+2n, ...} — round-robin over the image, so every shard sees
+    [s*block, (s+1)*block).  interleave=True (DEFAULT — measured strictly
+    better r4: 0.0% vs 3.4% step imbalance on the atrium, bit-identical,
+    zero cost; BASELINE.md "Multi-chip load balance"): shard s renders
+    pixels {s, s+n, s+2n, ...} — round-robin over the image, so every
+    shard sees
     a statistically identical pixel mix regardless of where the expensive
     regions are.  This is the static answer to the reference's *dynamic*
     master/worker tile assignment (SURVEY.md §2 r15): dynamic stealing

@@ -72,7 +72,12 @@ def sample_light(lights, li: int, p, u, env_map=None, env_tables=None):
     wi_p = dp / dist_p
     cos_axis = dot(-wi_p, normalize(nrm))
     in_cone = cos_axis >= ex[0]
-    falloff = jnp.power(jnp.maximum(cos_axis, 1e-9), ex[1])
+    # Gate the exponent to the spot branch (ADVICE r4): for non-spot kinds
+    # ex[1] is a geometry edge component, and a large-magnitude value would
+    # overflow the masked power to inf; exponent 0 keeps it finite by
+    # construction.
+    expo = jnp.where(kind == LIGHT_SPOT, ex[1], 0.0)
+    falloff = jnp.power(jnp.maximum(cos_axis, 1e-9), expo)
     spot_gain = jnp.where(kind == LIGHT_SPOT,
                           jnp.where(in_cone, falloff, 0.0), 1.0)
     rad_p = rad / dist2p * spot_gain * jnp.ones_like(p)

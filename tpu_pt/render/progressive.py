@@ -24,10 +24,26 @@ from tpu_pt.render.wavefront import wavefront_accum
 from tpu_pt.scene.types import Scene
 
 
-def _state_key(cfg: RenderConfig, seed_key) -> str:
+def _state_key(cfg: RenderConfig, seed_key, bvh, backend: str) -> str:
+    """Checkpoint identity: cfg + RNG key + BACKEND + the BVH's traversal
+    budgets.  The budgets matter (ADVICE r4): two runs over the same scene
+    with different frontier caps / pair budgets / fallback presence can
+    truncate differently, so mixing their chunks into one accumulator would
+    silently blend differently-truncated images.  Geometry itself is not
+    hashed (uploading the full tile tensor per resume would dwarf the
+    render); the budget tuple + cluster/level shapes are the cheap proxy
+    that catches every --autotune / fallback / backend mismatch."""
     h = hashlib.sha256()
     h.update(cfg.to_json().encode())
     h.update(np.asarray(jax.random.key_data(seed_key)).tobytes())
+    h.update(backend.encode())
+    shape_sig = [tuple(x.shape) for x in jax.tree.leaves(bvh)
+                 if hasattr(x, "shape")]
+    budget_sig = jax.tree_util.tree_structure(bvh), shape_sig
+    for attr in ("frontiers", "k_leaf", "pair_budget", "pair_mults"):
+        budget_sig += (getattr(bvh, attr, None),)
+    budget_sig += (getattr(bvh, "fallback", None) is not None,)
+    h.update(repr(budget_sig).encode())
     return h.hexdigest()[:16]
 
 
@@ -43,6 +59,7 @@ def render_progressive(
     backend: str = "packed",
     on_chunk: Optional[Callable] = None,
     return_counts: bool = False,
+    stop_on_overflow: bool = False,
 ):
     """Render cfg.spp samples in chunks of ``chunk_spp`` (default
     cfg.spp_chunk), checkpointing to ``checkpoint`` (npz) after each chunk
@@ -51,9 +68,15 @@ def render_progressive(
     capacity-contract truncations, for the CLI's verify-then-retry).
 
     ``on_chunk(spp_done, image_so_far)`` is the progressive-preview hook
-    (the reference's live tile blitting, headless)."""
+    (the reference's live tile blitting, headless).
+
+    ``stop_on_overflow`` aborts after the first chunk that reports
+    capacity-contract truncations (ADVICE r4): the caller is going to
+    discard the render and retry with the exact fallback anyway, so
+    finishing the remaining chunks of a potentially hours-long job would
+    be pure waste.  No checkpoint is written for the offending chunk."""
     chunk_spp = chunk_spp or cfg.spp_chunk
-    state_key = _state_key(cfg, key)
+    state_key = _state_key(cfg, key, bvh, backend)
     accum = np.zeros((cfg.n_pixels, 3), np.float32)
     spp_done = 0
     n_ovf = 0
@@ -82,6 +105,9 @@ def render_progressive(
         accum = accum + np.asarray(jax.block_until_ready(part))
         n_ovf += int(np.asarray(novf))
         spp_done += n
+        if stop_on_overflow and n_ovf:
+            img = (accum / max(spp_done, 1)).reshape(cfg.height, cfg.width, 3)
+            return (img, n_ovf) if return_counts else img
         if checkpoint:
             tmp = checkpoint + ".tmp.npz"
             np.savez(tmp, accum=accum, spp_done=spp_done,
