@@ -88,6 +88,10 @@ def main() -> None:
                 os.environ["BENCH_SPLIT"])
         if os.environ.get("BENCH_SPLIT_ANYHIT"):
             _cl.SPLIT_ANYHIT = int(os.environ["BENCH_SPLIT_ANYHIT"])
+    if os.environ.get("BENCH_ANYHIT_MULT"):
+        from tpu_pt.bvh import cluster as _cl
+
+        _cl.ANYHIT_MULT = int(os.environ["BENCH_ANYHIT_MULT"])
     if os.environ.get("BENCH_DEDUP"):
         # Cluster-major pair stage: cid-sorted pairs + masked-DMA Pallas
         # kernel (uniform groups fetch one tile for 8 pairs).
@@ -279,6 +283,7 @@ def main() -> None:
         t0 = time.time()
         img, n_closest, n_shadow, n_ovf, n_iter = run(key)  # re-warm
         t_compile_run += time.time() - t0
+    dt = sorted(times)[1]
     n_ovf = max(ovf_runs)
     if n_ovf:
         assert exact_retry or backend != "cluster"

@@ -154,12 +154,20 @@ def test_full_render_no_overflow_big1m(bench_scene):
     assert float(nc) > 0 and float(np.asarray(img).mean()) > 0.0
 
 
-def test_exact_fallback_repairs_overflow(bench_scene):
+def test_exact_fallback_repairs_overflow(bench_scene, monkeypatch):
     """Capacity overflow must degrade to SLOWER, never to WRONG (VERDICT r3
     task 1d): with deliberately starved caps (guaranteed overflow), every
     suspect ray's result must equal the exact packed walk bit-for-bit, and
     non-suspect rays must be untouched."""
     del bench_scene  # independent small scene; fixture only orders tests
+    # The suspect set below is PREDICTED from a full-batch descend +
+    # flat-pairs; pin the traversal unsplit so production truncation uses
+    # the same budget slicing as the prediction (split-path exactness has
+    # its own gate: test_cluster.test_split_traversal_bit_identical).
+    from tpu_pt.bvh import cluster as _cl
+
+    monkeypatch.setattr(_cl, "SPLIT_CLOSEST", 1)
+    monkeypatch.setattr(_cl, "SPLIT_ANYHIT", 1)
     from tpu_pt.bvh import packed as P
     from tpu_pt.bvh.native import build_packed_any
     from tpu_pt.scene import cornell

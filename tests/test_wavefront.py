@@ -106,3 +106,21 @@ class TestStepBound:
         img_b = np.asarray(render_wavefront(scene, cam, cfg, key, bvh,
                                             queue=300, backend="bvh"))
         np.testing.assert_allclose(img_a, img_b, rtol=1e-4, atol=1e-6)
+
+    def test_spp1_unique_scatter_matches_oracle(self, setup=None):
+        """spp=1 takes the unique_indices accumulator scatter (r5): every
+        in-flight lane owns a distinct pixel, so the cheap non-combining
+        scatter lowering is exact — must match the oracle bit-for-bit and
+        be queue-invariant."""
+        scene = cornell.cornell("spheres")
+        bvh = build_bvh(scene)
+        cfg = _cfg(spp=1, rr_start=1, rr_prob=0.8)
+        key = jax.random.key(7)
+        cam = cornell.camera(cfg.width, cfg.height)
+        ref = render(scene, cam, cfg, key, backend="brute")
+        img = np.asarray(render_wavefront(scene, cam, cfg, key, bvh,
+                                          queue=64, backend="brute"))
+        np.testing.assert_allclose(img, ref, rtol=1e-4, atol=1e-5)
+        img2 = np.asarray(render_wavefront(scene, cam, cfg, key, bvh,
+                                           queue=512, backend="bvh"))
+        np.testing.assert_allclose(img2, ref, rtol=1e-4, atol=1e-5)

@@ -1205,8 +1205,19 @@ def _retrace_suspects_anyhit(cb: ClusterBVH, ro, rd, t_min1, t_max1,
 # static pair budget is sliced per sub-batch, so truncation PATTERNS can
 # differ — which the overflow counter reports and verify-then-retry repairs
 # exactly, same as any other capacity miss.
-SPLIT_CLOSEST = 1
-SPLIT_ANYHIT = 1
+#
+# Sweep (tools/profile_split.py, big-1m, Q=4096, TPU v5e):
+#   closest: split 1/2/4/8 -> 5.414 / 4.730 / 3.954 / 4.303 ms
+#   anyhit:  split 1/2/4   -> 4.987 / 4.415 / 3.928 ms
+# -> 4 (sub-batch width 1024) is the winner for both; _split_batches keeps
+# sub-batches >= 1024 rays so smaller queues degrade gracefully to fewer
+# splits.
+SPLIT_CLOSEST = 4
+SPLIT_ANYHIT = 4
+
+# Optional override for the any-hit pair budget multiplier (pairs per ray
+# of static budget; None = use the BVH's pair_mults[2], same as closest).
+ANYHIT_MULT: int | None = None
 
 
 def _split_batches(Q: int, split: int) -> int:
@@ -1221,18 +1232,25 @@ def _split_batches(Q: int, split: int) -> int:
 def _traverse_compact(cb: ClusterBVH, ro, rd, t_min, t_max):
     """Closest hit: sort-free descent + one flat all-candidates pair batch
     + segmented min.  No while_loop, no best-t feedback — exact because
-    every live candidate is tested.  Returns (best_t (Q,1), gid, u, v)."""
+    every live candidate is tested.  Returns (best_t (Q,1), gid, u, v).
+
+    Sub-batches are STRIDED (sub-batch i takes lanes i, i+k, ...), not
+    contiguous: wavefront respawn fills lanes in pixel order, so
+    contiguous slices concentrate coherent hot blocks and blow the
+    per-sub-batch pair budget (measured: 29,763 truncations on the
+    headline bench with contiguous quarters vs 0 unsplit).  Round-robin
+    lanes give every slice a statistically identical mix — same
+    load-balance argument as dist.sharding's pixel interleaving."""
     k = _split_batches(ro.shape[0], SPLIT_CLOSEST)
     if k > 1:
-        h = ro.shape[0] // k
-        outs = [_traverse_compact_1(cb, ro[i * h:(i + 1) * h],
-                                    rd[i * h:(i + 1) * h],
-                                    t_min[i * h:(i + 1) * h],
-                                    t_max[i * h:(i + 1) * h])
+        outs = [_traverse_compact_1(cb, ro[i::k], rd[i::k],
+                                    t_min[i::k], t_max[i::k])
                 for i in range(k)]
         bt, g, u, v, novf = zip(*outs)
-        return (jnp.concatenate(bt), jnp.concatenate(g),
-                jnp.concatenate(u), jnp.concatenate(v), sum(novf))
+        return (jnp.stack(bt, 1).reshape(-1, 1),
+                jnp.stack(g, 1).reshape(-1),
+                jnp.stack(u, 1).reshape(-1, 1),
+                jnp.stack(v, 1).reshape(-1, 1), sum(novf))
     return _traverse_compact_1(cb, ro, rd, t_min, t_max)
 
 
@@ -1275,15 +1293,12 @@ def _traverse_compact_1(cb: ClusterBVH, ro, rd, t_min, t_max):
 def _traverse_compact_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max):
     """Occlusion: any tested pair with a hit in range occludes its ray."""
     k = _split_batches(ro.shape[0], SPLIT_ANYHIT)
-    if k > 1:
-        h = ro.shape[0] // k
-        outs = [_traverse_compact_anyhit_1(cb, ro[i * h:(i + 1) * h],
-                                           rd[i * h:(i + 1) * h],
-                                           t_min[i * h:(i + 1) * h],
-                                           t_max[i * h:(i + 1) * h])
+    if k > 1:  # strided slices — see _traverse_compact
+        outs = [_traverse_compact_anyhit_1(cb, ro[i::k], rd[i::k],
+                                           t_min[i::k], t_max[i::k])
                 for i in range(k)]
         occ, novf = zip(*outs)
-        return jnp.concatenate(occ), sum(novf)
+        return jnp.stack(occ, 1).reshape(-1), sum(novf)
     return _traverse_compact_anyhit_1(cb, ro, rd, t_min, t_max)
 
 
@@ -1293,7 +1308,13 @@ def _traverse_compact_anyhit_1(cb: ClusterBVH, ro, rd, t_min, t_max):
     t_max1 = t_max[:, 0]
     cand, live, ovf = _descend_compact(cb, ro, 1.0 / rd, t_min1[:, None],
                                        t_max1[:, None])
-    budget = cb.pair_mults[2] * Q
+    # The shadow batch carries useful rays on only ~half its lanes
+    # (masked/delta lanes get t_max<0 and spawn no candidates — BENCH r4:
+    # n_shadow ≈ 0.49·n_closest), so the any-hit pair stage can run a
+    # smaller static budget than the closest stage.  Truncation remains
+    # counted and exactly repaired like any other capacity miss.
+    mult = ANYHIT_MULT if ANYHIT_MULT is not None else cb.pair_mults[2]
+    budget = mult * Q
     rayP, cidP, dropped, cnt, right, lost = _flat_pairs(cand, live, Q,
                                                         budget)
     n_ovf = jnp.sum(ovf) + dropped

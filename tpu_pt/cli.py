@@ -141,7 +141,7 @@ def cmd_render(args) -> int:
         bvh = jax.device_put(bvh)
         scene = jax.device_put(scene)
 
-        def _render_once():
+        def _render_once(exact_bvh=False):
             if args.checkpoint:
                 # Progressive, crash-resumable render: spp-chunked
                 # accumulation checkpointed to npz after every chunk;
@@ -162,9 +162,11 @@ def cmd_render(args) -> int:
                     backend=wf_backend, on_chunk=on_chunk,
                     return_counts=True,
                     # Abort on the first overflowing chunk (ADVICE r4):
-                    # the exact retry below restarts the render anyway.
+                    # the fallback-attached retry resumes the checkpoint,
+                    # so nothing rendered before the overflow is redone.
                     stop_on_overflow=(wf_backend == "cluster"
-                                      and not args.no_exact_fallback))
+                                      and not args.no_exact_fallback),
+                    overflow_is_exact=exact_bvh)
                 return np.asarray(img), int(novf)
             # np.asarray fetches = the only reliable sync over the device
             # tunnel (block_until_ready returns early there).
@@ -187,11 +189,16 @@ def cmd_render(args) -> int:
             print(f"note: {n_overflow} BVH candidates overflowed static "
                   "budgets; re-rendering with the exact fallback attached",
                   file=sys.stderr)
-            if args.checkpoint and os.path.exists(args.checkpoint):
-                os.remove(args.checkpoint)  # truncated accum is tainted
+            # The progressive checkpoint is NOT deleted: with
+            # stop_on_overflow the overflowing chunk was never written, so
+            # the stored accumulator holds only exact chunks — and a
+            # fallback-attached traversal is bit-identical on those, so the
+            # retry RESUMES instead of redoing the finished spp (VERDICT r5
+            # task 6: repair cost scales with the un-rendered remainder,
+            # not the whole job).
             bvh = jax.device_put(attach_fallback(
                 jax.tree.map(np.asarray, bvh), host_scene))
-            img, n_overflow = _render_once()
+            img, n_overflow = _render_once(exact_bvh=True)
             print(f"note: exact retry done ({n_overflow} overflows "
                   "re-traced; image is exact)", file=sys.stderr)
         elif n_overflow:

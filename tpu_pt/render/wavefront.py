@@ -235,9 +235,21 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
         checkify.check(
             jnp.all(jnp.isfinite(jnp.where(st.alive, contrib, 0.0))),
             "shading: non-finite radiance contribution")
-    accum = st.accum.at[pixel].add(
-        jnp.where(st.alive, contrib, 0.0), mode="drop"
-    )
+    if cfg.spp == 1:
+        # spp=1: in-flight ray ids are unique and ray_id == pixel, so live
+        # lanes scatter to DISTINCT pixels; dead lanes are remapped to
+        # distinct out-of-bounds slots (dropped).  unique_indices lets XLA
+        # skip the sort-based duplicate-combining scatter expansion —
+        # bit-identical result (exactly one add per pixel either way).
+        lane = jnp.arange(Q, dtype=jnp.int32)
+        pixel_u = jnp.where(st.alive[:, 0], pixel, n_pix_local + lane)
+        accum = st.accum.at[pixel_u].add(
+            jnp.where(st.alive, contrib, 0.0), mode="drop",
+            unique_indices=True)
+    else:
+        accum = st.accum.at[pixel].add(
+            jnp.where(st.alive, contrib, 0.0), mode="drop"
+        )
 
     # ---- Scatter to next bounce. ----
     max_depth = 0 if cfg.direct_only else cfg.max_depth
