@@ -108,9 +108,10 @@ def main() -> None:
             from tpu_pt.bvh.cluster import build_cluster_device
 
             scene = jax.device_put(scene)
+            cs = float(os.environ.get("BENCH_LBVH_SCALE", "2.0"))
             packed = jax.jit(build_cluster_device,
-                             static_argnames=("pair_budget",))(
-                scene, pair_budget=pb)
+                             static_argnames=("pair_budget", "cap_scale"))(
+                scene, pair_budget=pb, cap_scale=cs)
             np.asarray(packed.tiles[0, 0, 0])  # fetch-sync
         elif os.environ.get("BENCH_AUTOTUNE"):
             # Frontier caps + pair budget sized from probe runs of the REAL

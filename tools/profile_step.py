@@ -40,17 +40,7 @@ def main():
     intersect_fn, occluded_fn = _intersectors_counted("cluster", cb_d)
 
     n_pix = cfg.n_pixels
-    st = W.QueueState(
-        ro=jnp.zeros((Q, 3), jnp.float32),
-        rd=jnp.concatenate([jnp.zeros((Q, 2)), jnp.ones((Q, 1))], -1),
-        beta=jnp.zeros((Q, 3), jnp.float32),
-        ray_id=jnp.full((Q,), -1, jnp.int32),
-        depth=jnp.zeros((Q,), jnp.int32),
-        include_le=jnp.zeros((Q, 1), bool),
-        alive=jnp.zeros((Q, 1), bool),
-        next_sample=jnp.int32(0),
-        accum=jnp.zeros((n_pix, 3), jnp.float32),
-    )
+    st = W.init_queue(Q, n_pix)
 
     def step(st):
         return W._step(scene_d, cam, cfg, key, intersect_fn, occluded_fn,

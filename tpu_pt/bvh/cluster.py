@@ -141,13 +141,25 @@ class ClusterBVH:
         self.k_leaf = k_leaf
         self.pair_budget = pair_budget
         # Pair-major traversal budgets, × Q: (top flatten, intermediate
-        # levels, leaf/cluster pairs).  Static compile knobs; truncation is
-        # counted (pairs_stats / compact_stats).  The leaf mult covers the
-        # WORST CONTIGUOUS-PIXEL BLOCK of the 1.3M-tri bench camera
-        # (coherent wavefront respawn batches share clusters, so their
-        # candidate totals run ~1.4x the random-pixel average; measured
-        # worst block = 23,312 candidates at Q=4096 -> mult 6).
-        self.pair_mults = tuple(pair_mults)
+        # levels, leaf/cluster pairs[, any-hit leaf pairs]).  Static compile
+        # knobs; truncation is counted (pairs_stats / compact_stats).  The
+        # leaf mult covers the WORST CONTIGUOUS-PIXEL BLOCK of the 1.3M-tri
+        # bench camera (coherent wavefront respawn batches share clusters,
+        # so their candidate totals run ~1.4x the random-pixel average;
+        # measured worst block = 23,312 candidates at Q=4096 -> mult 6).
+        # The 4th entry is the NARROW any-hit pair budget: in steady state
+        # shadow batches carry useful rays on only ~half their lanes
+        # (BENCH r4: n_shadow ≈ 0.49·n_closest), so ~2/3 of the leaf mult
+        # holds them (bench: 4 vs 6, +8% headline).  Batches that exceed
+        # it — e.g. the fully-occupied wide-angle step-0 shadow wave of a
+        # small render, measured needing mult 5 at 128² — take the WIDE
+        # rung (pair_mults[2]) of the runtime budget ladder
+        # (_budget_ladder) instead of truncating.  Legacy 3-tuples get the
+        # derived default.
+        pair_mults = tuple(pair_mults)
+        if len(pair_mults) == 3:
+            pair_mults += (max(2, -(-2 * pair_mults[2] // 3)),)
+        self.pair_mults = pair_mults
         if levels16 is None:
             levels16 = _levels16(self.levels)  # host (numpy) build path
         self.levels16 = tuple(levels16)
@@ -314,7 +326,8 @@ def build_cluster_device(scene: Scene, tile: int = TILE,
                          frontiers: Sequence[int] | None = None,
                          k_leaf: int | None = None,
                          pair_budget: int | None = None,
-                         dense_start: int = 512) -> ClusterBVH:
+                         dense_start: int = 512,
+                         cap_scale: float = 2.0) -> ClusterBVH:
     """DEVICE cluster build — the LBVH-style fast path (BASELINE.json
     config 3: "LBVH device build, Morton sort on device").
 
@@ -399,13 +412,23 @@ def build_cluster_device(scene: Scene, tile: int = TILE,
             cur_hi = jnp.max(cur_hi.reshape(-1, 8, 3), axis=1)
 
     if frontiers is None or k_leaf is None:
-        df, dk = default_frontiers([lv.shape[0] for lv in levels])
+        # Morton-chunk clusters overlap far more than SAH clusters: with
+        # SAH-sized default caps the 1.3M-tri headline render truncated
+        # 733,453 candidates (r5 measurement).  cap_scale widens the
+        # geometric defaults to cover the quality gap; the extra width is
+        # the honest traversal-time cost of the fast device build.
+        sz = [lv.shape[0] for lv in levels]
+        df, dk = default_frontiers(sz)
+        df = tuple(min(s, int(np.ceil(c * cap_scale)))
+                   for s, c in zip(sz, df))
+        dk = min(sz[-1], int(np.ceil(dk * cap_scale)))
         frontiers = tuple(frontiers) if frontiers is not None else df
         k_leaf = int(k_leaf) if k_leaf is not None else dk
     pair_budget = pair_budget or min(k_leaf, 4)
+    mults = (8, 8, int(np.ceil(6 * cap_scale)), int(np.ceil(4 * cap_scale)))
     return ClusterBVH(levels, tiles.astype(jnp.float32), gid,
                       tuple(frontiers), int(k_leaf), int(pair_budget),
-                      levels16=_levels16_jnp(levels))
+                      pair_mults=mults, levels16=_levels16_jnp(levels))
 
 
 # ---------------------------------------------------------------------------
@@ -764,7 +787,7 @@ def _descend_pairs(cb: ClusterBVH, ro, rd_inv, t_min1, t_max1):
     ray=Q padding at the tail) and the count of live pairs truncated by the
     static budget (capacity contract: 0 on supported scenes)."""
     Q = ro.shape[0]
-    m_top, m_mid, m_leaf = cb.pair_mults
+    m_top, m_mid, m_leaf = cb.pair_mults[:3]
     levels = cb.levels
     top = levels[0]
 
@@ -1229,7 +1252,8 @@ def _split_batches(Q: int, split: int) -> int:
     return k
 
 
-def _traverse_compact(cb: ClusterBVH, ro, rd, t_min, t_max):
+def _traverse_compact(cb: ClusterBVH, ro, rd, t_min, t_max,
+                      suspect_out: list | None = None):
     """Closest hit: sort-free descent + one flat all-candidates pair batch
     + segmented min.  No while_loop, no best-t feedback — exact because
     every live candidate is tested.  Returns (best_t (Q,1), gid, u, v).
@@ -1240,21 +1264,34 @@ def _traverse_compact(cb: ClusterBVH, ro, rd, t_min, t_max):
     per-sub-batch pair budget (measured: 29,763 truncations on the
     headline bench with contiguous quarters vs 0 unsplit).  Round-robin
     lanes give every slice a statistically identical mix — same
-    load-balance argument as dist.sharding's pixel interleaving."""
+    load-balance argument as dist.sharding's pixel interleaving.
+
+    suspect_out: observability hook — when a list is passed, the per-ray
+    suspect mask (this ray's candidates overflowed some static budget) is
+    appended; the basis of suspect-pixel-only repair (VERDICT r5 task 6).
+    """
     k = _split_batches(ro.shape[0], SPLIT_CLOSEST)
     if k > 1:
+        subs = [[] for _ in range(k)] if suspect_out is not None else \
+            [None] * k
         outs = [_traverse_compact_1(cb, ro[i::k], rd[i::k],
-                                    t_min[i::k], t_max[i::k])
+                                    t_min[i::k], t_max[i::k],
+                                    suspect_out=subs[i])
                 for i in range(k)]
         bt, g, u, v, novf = zip(*outs)
+        if suspect_out is not None:
+            suspect_out.append(
+                jnp.stack([s[0] for s in subs], 1).reshape(-1))
         return (jnp.stack(bt, 1).reshape(-1, 1),
                 jnp.stack(g, 1).reshape(-1),
                 jnp.stack(u, 1).reshape(-1, 1),
                 jnp.stack(v, 1).reshape(-1, 1), sum(novf))
-    return _traverse_compact_1(cb, ro, rd, t_min, t_max)
+    return _traverse_compact_1(cb, ro, rd, t_min, t_max,
+                               suspect_out=suspect_out)
 
 
-def _traverse_compact_1(cb: ClusterBVH, ro, rd, t_min, t_max):
+def _traverse_compact_1(cb: ClusterBVH, ro, rd, t_min, t_max,
+                        suspect_out: list | None = None):
     Q = ro.shape[0]
     t_min1 = t_min[:, 0]
     t_max1 = t_max[:, 0]
@@ -1264,6 +1301,8 @@ def _traverse_compact_1(cb: ClusterBVH, ro, rd, t_min, t_max):
     rayP, cidP, dropped, cnt, right, lost = _flat_pairs(cand, live, Q,
                                                         budget)
     n_ovf = jnp.sum(ovf) + dropped
+    if suspect_out is not None:
+        suspect_out.append((ovf > 0) | (lost > 0))
     if DEDUP_PAIRS and _dedup_supported(cb, budget):
         # Cluster-major: dedup-fetch kernel + scatter-min per-ray reduce.
         t_p, u_p, v_p, g_p, rayC, okS = _test_pairs_dedup(
@@ -1290,34 +1329,61 @@ def _traverse_compact_1(cb: ClusterBVH, ro, rd, t_min, t_max):
     return best_t[:, None], best_g, best_u[:, None], best_v[:, None], n_ovf
 
 
-def _traverse_compact_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max):
-    """Occlusion: any tested pair with a hit in range occludes its ray."""
+def _traverse_compact_anyhit(cb: ClusterBVH, ro, rd, t_min, t_max,
+                             suspect_out: list | None = None,
+                             narrow: bool = False):
+    """Occlusion: any tested pair with a hit in range occludes its ray.
+    narrow=True selects the steady-state shadow pair budget
+    (pair_mults[3]) — see _traverse_compact_anyhit_1."""
     k = _split_batches(ro.shape[0], SPLIT_ANYHIT)
     if k > 1:  # strided slices — see _traverse_compact
+        subs = [[] for _ in range(k)] if suspect_out is not None else \
+            [None] * k
         outs = [_traverse_compact_anyhit_1(cb, ro[i::k], rd[i::k],
-                                           t_min[i::k], t_max[i::k])
+                                           t_min[i::k], t_max[i::k],
+                                           suspect_out=subs[i],
+                                           narrow=narrow)
                 for i in range(k)]
         occ, novf = zip(*outs)
+        if suspect_out is not None:
+            suspect_out.append(
+                jnp.stack([s[0] for s in subs], 1).reshape(-1))
         return jnp.stack(occ, 1).reshape(-1), sum(novf)
-    return _traverse_compact_anyhit_1(cb, ro, rd, t_min, t_max)
+    return _traverse_compact_anyhit_1(cb, ro, rd, t_min, t_max,
+                                      suspect_out=suspect_out,
+                                      narrow=narrow)
 
 
-def _traverse_compact_anyhit_1(cb: ClusterBVH, ro, rd, t_min, t_max):
+def _traverse_compact_anyhit_1(cb: ClusterBVH, ro, rd, t_min, t_max,
+                               suspect_out: list | None = None,
+                               narrow: bool = False):
     Q = ro.shape[0]
     t_min1 = t_min[:, 0]
     t_max1 = t_max[:, 0]
     cand, live, ovf = _descend_compact(cb, ro, 1.0 / rd, t_min1[:, None],
                                        t_max1[:, None])
-    # The shadow batch carries useful rays on only ~half its lanes
-    # (masked/delta lanes get t_max<0 and spawn no candidates — BENCH r4:
-    # n_shadow ≈ 0.49·n_closest), so the any-hit pair stage can run a
-    # smaller static budget than the closest stage.  Truncation remains
-    # counted and exactly repaired like any other capacity miss.
-    mult = ANYHIT_MULT if ANYHIT_MULT is not None else cb.pair_mults[2]
+    # Any-hit pair budget: callers that KNOW the batch is a steady-state
+    # shadow wave (the wavefront loop body after its wide warm-up prefix)
+    # pass narrow=True for the pair_mults[3] budget (~2/3 of the closest
+    # stage's: shadow batches are half-occupied in steady state); all
+    # other calls use the wide pair_mults[2] budget, which also covers the
+    # fully-occupied wide-angle first-wave shadows (r5: 884 step-0
+    # truncations at 128² under the narrow budget).  A runtime lax.cond
+    # ladder between the two widths measured CATASTROPHIC (467,961 vs
+    # 767,910 rays/s — XLA pays for both branches), hence this static
+    # caller-side split.  The ANYHIT_MULT A/B knob overrides both.
+    if ANYHIT_MULT is not None:
+        mult = ANYHIT_MULT
+    elif narrow and len(cb.pair_mults) > 3:
+        mult = cb.pair_mults[3]
+    else:
+        mult = cb.pair_mults[2]
     budget = mult * Q
     rayP, cidP, dropped, cnt, right, lost = _flat_pairs(cand, live, Q,
                                                         budget)
     n_ovf = jnp.sum(ovf) + dropped
+    if suspect_out is not None:
+        suspect_out.append((ovf > 0) | (lost > 0))
     if DEDUP_PAIRS and _dedup_supported(cb, budget):
         t_p, _, _, _, rayC, okS = _test_pairs_dedup(
             cb, ro, rd, t_min1, t_max1, rayP, cidP)
@@ -1388,22 +1454,31 @@ GATHER_BF16 = True
 DEDUP_PAIRS = False
 
 
-def intersect_counted(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max):
+def intersect_counted(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max,
+                      suspect_out: list | None = None):
     """Nearest hit + the capacity-contract overflow count for this call
     (candidates truncated by frontier caps / k_leaf / the flat pair
     budget).  The traversal is exact iff the count is 0; production
     renders surface the summed count (wavefront counts, bench JSON, CLI)
-    instead of silently dropping hits — SURVEY.md §5 metrics."""
+    instead of silently dropping hits — SURVEY.md §5 metrics.
+
+    suspect_out: when a list is passed, the per-ray suspect mask is
+    appended (always, even for the always-exact modes, where it is all
+    False) — the input of suspect-pixel repair."""
     cb = jax.tree.map(jnp.asarray, cb)
     t_max_b = jnp.broadcast_to(t_max, (ro.shape[0], 1))
     if TRAVERSAL_MODE == "compact":
         best_t, gid, u, v, ovf = _traverse_compact(cb, ro, rd, t_min,
-                                                   t_max_b)
+                                                   t_max_b,
+                                                   suspect_out=suspect_out)
+        suspect_out = None  # filled by the traversal
     elif TRAVERSAL_MODE == "pairs":
         best_t, gid, u, v, ovf = _traverse_pairs(cb, ro, rd, t_min, t_max_b)
     else:
         best_t, gid, u, v, ovf = _traverse(cb, scene, ro, rd, t_min,
                                            t_max_b)
+    if suspect_out is not None:  # non-compact modes: no per-ray truncation
+        suspect_out.append(jnp.zeros((ro.shape[0],), bool))
     found = best_t < t_max_b
     return Hit(hit=found, t=jnp.where(found, best_t, INF), prim=gid,
                u=u, v=v), ovf
@@ -1413,17 +1488,24 @@ def intersect(cb: ClusterBVH, scene: Scene, ro, rd, t_min, t_max) -> Hit:
     return intersect_counted(cb, scene, ro, rd, t_min, t_max)[0]
 
 
-def occluded_counted(cb: ClusterBVH, scene: Scene, ro, rd, t_max):
+def occluded_counted(cb: ClusterBVH, scene: Scene, ro, rd, t_max,
+                     suspect_out: list | None = None,
+                     narrow: bool = False):
     """Occlusion + overflow count (see intersect_counted)."""
     cb = jax.tree.map(jnp.asarray, cb)
     t_min = jnp.zeros((ro.shape[0], 1), jnp.float32)
     t_max = jnp.broadcast_to(t_max, (ro.shape[0], 1))
     if TRAVERSAL_MODE == "compact":
-        occ, ovf = _traverse_compact_anyhit(cb, ro, rd, t_min, t_max)
+        occ, ovf = _traverse_compact_anyhit(cb, ro, rd, t_min, t_max,
+                                            suspect_out=suspect_out,
+                                            narrow=narrow)
+        suspect_out = None
     elif TRAVERSAL_MODE == "pairs":
         occ, ovf = _traverse_pairs_anyhit(cb, ro, rd, t_min, t_max)
     else:
         occ, ovf = _traverse_anyhit(cb, ro, rd, t_min, t_max)
+    if suspect_out is not None:
+        suspect_out.append(jnp.zeros((ro.shape[0],), bool))
     return occ[:, None], ovf
 
 
@@ -1527,16 +1609,13 @@ def autotune_for_render(scene: Scene, cam, cfg, queue: int = 4096,
     # 1024² config measured 1,302 s of build time (r4 sweep) — a ≤512²
     # probe sees the same populations at a fraction of the compile cost
     # (camera still spans the full field of view; strided segments still
-    # cover the whole image).  Only the SHARED pair budget is sensitive to
-    # batch coherence (contiguous pixels share clusters, measured ~1.4x
-    # the random-pixel load), so when probing below the render resolution
-    # the pair multiplier gets an extra coherence margin.
-    coherence = 1.0
+    # cover the whole image).  Pair budgets are sized from per-SLICE
+    # maxima below, which are pixel-decorrelated at any resolution, so no
+    # extra coherence margin is needed when probing below render size.
     if cfg.n_pixels > 512 * 512:
         scale = (cfg.n_pixels / (512 * 512)) ** 0.5
         cfg = cfg.replace(width=max(1, round(cfg.width / scale)),
                           height=max(1, round(cfg.height / scale)))
-        coherence = 1.25
     cb0 = build_cluster_bvh(scene, tile=tile, dense_start=dense_start)
     wide_caps = tuple(min(lv.shape[0], 2 * c)
                       for lv, c in zip(cb0.levels, cb0.frontiers))
@@ -1556,13 +1635,11 @@ def autotune_for_render(scene: Scene, cam, cfg, queue: int = 4096,
     @jax.jit
     def probe_segment(pix_lo, n_pix_local):
         st = W.init_queue(Q, n_pix)
-
-        def warm(s, _):
-            s, _ = W._step(scene_d, cam, cfg, key, ifn, ofn, s, pix_lo,
-                           n_pix_local, jnp.int32(0), cfg.spp)
-            return s, None
-
-        st, _ = jax.lax.scan(warm, st, None, length=warm_steps)
+        # Measure from the FIRST step (no unmeasured warm prefix): the
+        # step-0 shadow wave is fully occupied and wide-angle coherent —
+        # the binding any-hit population at small images (r5: 884
+        # truncations missed by a warmed-only probe) — while later steps
+        # supply the mixed-depth population; the max covers both.
 
         def body(carry, _):
             s, need_max, pair_max = carry
@@ -1570,38 +1647,66 @@ def autotune_for_render(scene: Scene, cam, cfg, queue: int = 4096,
             s, _ = W._step(scene_d, cam, cfg, key, ifn, ofn, s, pix_lo,
                            n_pix_local, jnp.int32(0), cfg.spp,
                            ray_probe=probes)
-            for ro, rd, t_max in probes:
+            for j, (ro, rd, t_max) in enumerate(probes):
                 collect = []
                 _, live, _ = _descend_compact(
                     probe_d, ro, 1.0 / rd, jnp.zeros_like(t_max), t_max,
                     collect=collect)
                 need = jnp.stack([jnp.max(n) for n, _ in collect])
                 need_max = jnp.maximum(need_max, need)
-                pair_max = jnp.maximum(
-                    pair_max, jnp.sum(live, dtype=jnp.int32))
+                # Probe 0 is the closest-hit batch; the rest are NEE
+                # shadow batches — budgeted separately (pair_mults[3]).
+                # The budget applies PER STRIDED SUB-BATCH in production
+                # (SPLIT_CLOSEST/SPLIT_ANYHIT), so size from the max
+                # per-slice pair sum, normalized per ray of slice width —
+                # whole-batch totals carry the coherent-peak inflation
+                # (~1.4x) that strided slices flatten, and sizing from
+                # them cost the r5-measured 26% autotune penalty (mults
+                # 9/7 vs the end-to-end-verified 6/4).
+                kind = 0 if j == 0 else 1
+                ks = _split_batches(live.shape[0],
+                                    SPLIT_CLOSEST if j == 0 else
+                                    SPLIT_ANYHIT)
+                per_ray = jnp.max(jnp.stack([
+                    jnp.sum(live[i::ks], dtype=jnp.int32)
+                    for i in range(ks)])) * ks
+                pair_max = pair_max.at[kind].max(per_ray)
             return (s, need_max, pair_max), None
 
         (_, need_max, pair_max), _ = jax.lax.scan(
-            body, (st, jnp.zeros((L,), jnp.int32), jnp.int32(0)), None,
-            length=probe_steps)
+            body, (st, jnp.zeros((L,), jnp.int32),
+                   jnp.zeros((2,), jnp.int32)), None,
+            length=warm_steps + probe_steps)
         return need_max, pair_max
 
     need_max = np.zeros((L,), np.int64)
-    pair_max = 0
+    pair_max = np.zeros((2,), np.int64)
     for i in range(segments):
         lo = (n_pix // segments) * i
         nm, pm = probe_segment(jnp.int32(lo), jnp.int32(n_pix - lo))
         need_max = np.maximum(need_max, np.asarray(nm))
-        pair_max = max(pair_max, int(pm))
+        pair_max = np.maximum(pair_max, np.asarray(pm))
 
     caps = tuple(
         int(min(lv.shape[0], max(8, int(np.ceil(n * slack)) + 2)))
         for lv, n in zip(probe_cb.levels, need_max))
-    leaf_mult = max(2, int(np.ceil(pair_max * slack * coherence / Q)))
+    # Pair budgets get a THINNER margin than the frontier caps: they are
+    # the dominant runtime cost of over-provisioning (every budgeted pair
+    # slot is tile-tested whether live or dead — the r5-measured 26%
+    # autotune penalty was almost entirely inflated pair mults), and the
+    # exact fallback + verify-then-retry make a thin margin safe: an
+    # out-of-envelope batch degrades to slower, never to wrong.
+    # No extra coherence factor on top: the per-slice maxima already
+    # reflect what a production sub-batch carries (strided slices are
+    # pixel-decorrelated at any resolution).
+    pair_slack = min(slack, 1.15)
+    leaf_mult = max(2, int(np.ceil(pair_max[0] * pair_slack / Q)))
+    anyhit_mult = max(2, int(np.ceil(pair_max[1] * pair_slack / Q)))
     tuned = build_cluster_bvh(
         scene, tile=tile, dense_start=dense_start, frontiers=caps,
         k_leaf=caps[-1], pair_budget=pair_budget,
-        pair_mults=(cb0.pair_mults[0], cb0.pair_mults[1], leaf_mult))
+        pair_mults=(cb0.pair_mults[0], cb0.pair_mults[1], leaf_mult,
+                    anyhit_mult))
     return attach_fallback(tuned, scene) if exact_fallback else tuned
 
 

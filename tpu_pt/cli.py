@@ -141,6 +141,8 @@ def cmd_render(args) -> int:
         bvh = jax.device_put(bvh)
         scene = jax.device_put(scene)
 
+        suspects = [None]  # per-pixel overflow flags of the counted render
+
         def _render_once(exact_bvh=False):
             if args.checkpoint:
                 # Progressive, crash-resumable render: spp-chunked
@@ -170,6 +172,18 @@ def cmd_render(args) -> int:
                 return np.asarray(img), int(novf)
             # np.asarray fetches = the only reliable sync over the device
             # tunnel (block_until_ready returns early there).
+            if wf_backend == "cluster" and not args.no_exact_fallback \
+                    and not exact_bvh:
+                # Track per-pixel suspect flags so an overflow can be
+                # repaired by re-rendering ONLY the flagged pixels.
+                from tpu_pt.render.wavefront import \
+                    render_wavefront_suspect_counts
+
+                img, _, _, novf, _, sus = render_wavefront_suspect_counts(
+                    scene, cam, cfg, key, bvh, queue=args.queue,
+                    backend=wf_backend)
+                suspects[0] = np.asarray(sus)
+                return np.asarray(img), int(np.asarray(novf))
             img, _, _, novf, _ = render_wavefront_counts(
                 scene, cam, cfg, key, bvh, queue=args.queue,
                 backend=wf_backend)
@@ -198,7 +212,24 @@ def cmd_render(args) -> int:
             # not the whole job).
             bvh = jax.device_put(attach_fallback(
                 jax.tree.map(np.asarray, bvh), host_scene))
-            img, n_overflow = _render_once(exact_bvh=True)
+            if suspects[0] is not None and not args.checkpoint:
+                # Suspect-pixel-only repair (VERDICT r5 task 6): the
+                # counted render flagged exactly the pixels whose paths
+                # overflowed; re-trace ONLY those through the exact BVH —
+                # repair cost scales with the suspect count, not the
+                # image size.
+                from tpu_pt.render.wavefront import repair_suspect_pixels
+
+                n_sus = int(suspects[0].sum())
+                print(f"note: repairing {n_sus} suspect pixels "
+                      f"({100.0 * n_sus / cfg.n_pixels:.2f}% of the image)",
+                      file=sys.stderr)
+                img, n_overflow = repair_suspect_pixels(
+                    scene, cam, cfg, key, bvh, img, suspects[0],
+                    queue=args.queue, backend=wf_backend)
+                img = np.asarray(img)
+            else:
+                img, n_overflow = _render_once(exact_bvh=True)
             print(f"note: exact retry done ({n_overflow} overflows "
                   "re-traced; image is exact)", file=sys.stderr)
         elif n_overflow:

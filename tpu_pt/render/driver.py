@@ -86,10 +86,48 @@ def _intersectors_counted(backend: str, bvh=None):
     def isect_c(scene, ro, rd, t_min, t_max):
         return isect(scene, ro, rd, t_min, t_max), jnp.int32(0)
 
-    def occl_c(scene, ro, rd, t_max):
+    def occl_c(scene, ro, rd, t_max, narrow=False):
+        del narrow  # exact backends have no pair budget
         return occl(scene, ro, rd, t_max), jnp.int32(0)
 
     return isect_c, occl_c
+
+
+def _intersectors_suspect(backend: str, bvh=None):
+    """Like _intersectors_counted, but each call also returns the per-ray
+    SUSPECT mask (this ray's candidates overflowed a static budget, so its
+    result may have dropped a hit).  Exact-by-construction backends return
+    all-False.  Feeds suspect-pixel-only repair (VERDICT r5 task 6)."""
+    if backend == "cluster":
+        from tpu_pt.bvh import cluster as cluster_mod
+
+        if bvh is None:
+            raise ValueError("backend='cluster' requires a ClusterBVH")
+
+        def isect_s(scene, ro, rd, t_min, t_max):
+            sus = []
+            hit, novf = cluster_mod.intersect_counted(
+                bvh, scene, ro, rd, t_min, t_max, suspect_out=sus)
+            return hit, novf, sus[0]
+
+        def occl_s(scene, ro, rd, t_max, narrow=False):
+            sus = []
+            occ, novf = cluster_mod.occluded_counted(
+                bvh, scene, ro, rd, t_max, suspect_out=sus, narrow=narrow)
+            return occ, novf, sus[0]
+
+        return isect_s, occl_s
+    isect_c, occl_c = _intersectors_counted(backend, bvh)
+
+    def isect_s(scene, ro, rd, t_min, t_max):
+        hit, novf = isect_c(scene, ro, rd, t_min, t_max)
+        return hit, novf, jnp.zeros((ro.shape[0],), bool)
+
+    def occl_s(scene, ro, rd, t_max, narrow=False):
+        occ, novf = occl_c(scene, ro, rd, t_max, narrow=narrow)
+        return occ, novf, jnp.zeros((ro.shape[0],), bool)
+
+    return isect_s, occl_s
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "backend"))

@@ -49,7 +49,7 @@ def queue_occupancy(scene, cam, cfg: RenderConfig, key, bvh,
     """Run the wavefront loop recording per-step live-lane counts — the key
     perf signal (SURVEY.md §5 'compacted-queue sizes per bounce')."""
     from tpu_pt.render.driver import _intersectors_counted
-    from tpu_pt.render.wavefront import QueueState, _step, n_steps
+    from tpu_pt.render.wavefront import _step, init_queue, n_steps
 
     Q = min(queue, cfg.n_pixels * cfg.spp)
     steps = n_steps(cfg, Q)
@@ -57,17 +57,7 @@ def queue_occupancy(scene, cam, cfg: RenderConfig, key, bvh,
     @jax.jit
     def run(scene, cam, key, bvh):
         intersect_fn, occluded_fn = _intersectors_counted(backend, bvh)
-        st = QueueState(
-            ro=jnp.zeros((Q, 3)), rd=jnp.concatenate(
-                [jnp.zeros((Q, 2)), jnp.ones((Q, 1))], -1),
-            beta=jnp.zeros((Q, 3)),
-            ray_id=jnp.full((Q,), -1, jnp.int32),
-            depth=jnp.zeros((Q,), jnp.int32),
-            include_le=jnp.zeros((Q, 1), bool),
-            alive=jnp.zeros((Q, 1), bool),
-            next_sample=jnp.int32(0),
-            accum=jnp.zeros((cfg.n_pixels, 3)),
-        )
+        st = init_queue(Q, cfg.n_pixels)
 
         def body(st, _):
             st2, _counts = _step(scene, cam, cfg, key, intersect_fn,

@@ -59,10 +59,14 @@ class QueueState(NamedTuple):
     alive: jnp.ndarray       # (Q, 1) lane carries a live path
     next_sample: jnp.ndarray  # () int32 — next unspawned sample id
     accum: jnp.ndarray       # (P, 3) radiance accumulator (sum over samples)
+    suspect: jnp.ndarray     # (P,) i32 per-pixel suspect flags when
+    #                          tracked (suspect-pixel repair); (1,) dummy
+    #                          otherwise
 
 
 def _respawn(cam, cfg: RenderConfig, key, st: QueueState, pix_lo, n_pix_local,
-             spp_lo, spp_count, pix_stride: int = 1) -> QueueState:
+             spp_lo, spp_count, pix_stride: int = 1,
+             pix_ids=None) -> QueueState:
     """Fill dead lanes with fresh camera samples from the remaining budget.
 
     The sample stream covers pixels {pix_lo + j*pix_stride : j <
@@ -85,12 +89,27 @@ def _respawn(cam, cfg: RenderConfig, key, st: QueueState, pix_lo, n_pix_local,
 
     # Global sample id keyed off the global pixel index (RNG consistency).
     pixel_local = cand // spp_count
-    pixel = (pix_lo + jnp.where(spawn, pixel_local, 0) * pix_stride
-             ).astype(jnp.int32)
-    new_id = jnp.where(
-        spawn, pixel * cfg.spp + spp_lo + cand % spp_count, st.ray_id
-    )
-    jitter = draws_lane(key, new_id, jnp.zeros_like(new_id) + DRAW_JITTER, 2)
+    if pix_ids is not None:
+        # Arbitrary pixel subset (suspect-pixel repair): pix_ids maps the
+        # local accumulator row to the GLOBAL pixel.  ray_id stores the
+        # LOCAL sample id (for O(1) accum addressing); every RNG draw uses
+        # the translated global id (_global_ray_id), so each pixel's
+        # radiance is bit-identical to its value in a full-image render.
+        pixel = pix_ids[jnp.clip(jnp.where(spawn, pixel_local, 0), 0,
+                                 pix_ids.shape[0] - 1)].astype(jnp.int32)
+        new_id = jnp.where(
+            spawn, pixel_local * cfg.spp + spp_lo + cand % spp_count,
+            st.ray_id)
+        gid = jnp.where(spawn, pixel * cfg.spp + spp_lo + cand % spp_count,
+                        _global_ray_id(st.ray_id, cfg, pix_ids))
+    else:
+        pixel = (pix_lo + jnp.where(spawn, pixel_local, 0) * pix_stride
+                 ).astype(jnp.int32)
+        new_id = jnp.where(
+            spawn, pixel * cfg.spp + spp_lo + cand % spp_count, st.ray_id
+        )
+        gid = new_id
+    jitter = draws_lane(key, gid, jnp.zeros_like(gid) + DRAW_JITTER, 2)
     xy = pixel_xy(cfg.width, cfg.height, pixel, jax.lax.stop_gradient(jitter))
     ro_new, rd_new = generate_rays(cam, xy)
 
@@ -107,10 +126,22 @@ def _respawn(cam, cfg: RenderConfig, key, st: QueueState, pix_lo, n_pix_local,
     )
 
 
+def _global_ray_id(ray_id, cfg: RenderConfig, pix_ids):
+    """Local sample id -> global sample id under a pix_ids indirection
+    (identity when pix_ids is None)."""
+    if pix_ids is None:
+        return ray_id
+    rid = jnp.maximum(ray_id, 0)
+    g = pix_ids[jnp.clip(rid // cfg.spp, 0, pix_ids.shape[0] - 1)].astype(
+        jnp.int32) * cfg.spp + rid % cfg.spp
+    return jnp.where(ray_id < 0, ray_id, g)
+
+
 def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
           st: QueueState, pix_lo, n_pix_local, spp_lo, spp_count,
           ray_probe: list | None = None,
-          pix_stride: int = 1) -> QueueState:
+          pix_stride: int = 1, track_suspects: bool = False,
+          pix_ids=None, shadow_narrow: bool = False) -> QueueState:
     """One wavefront iteration: respawn → intersect → shade/NEE → scatter.
 
     ray_probe: observability hook — when a list is passed, every traversal's
@@ -119,8 +150,9 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     REAL mixed-depth population the capacity autotuner must cover
     (cluster.autotune_for_render; VERDICT r3 task 1b)."""
     st = _respawn(cam, cfg, key, st, pix_lo, n_pix_local, spp_lo, spp_count,
-                  pix_stride)
+                  pix_stride, pix_ids=pix_ids)
     Q = st.ro.shape[0]
+    rid_g = _global_ray_id(st.ray_id, cfg, pix_ids)  # RNG identity
     n_closest = jnp.sum(st.alive[:, 0].astype(jnp.int32))  # rays traced now
     base = 1 + st.depth * _STRIDE  # (Q,) per-lane draw base
 
@@ -138,7 +170,12 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     sg = jax.lax.stop_gradient
     if ray_probe is not None:
         ray_probe.append((st.ro, st.rd, t_max))
-    hit, n_ovf = intersect_fn(sg(scene), sg(st.ro), sg(st.rd), t_min, t_max)
+    if track_suspects:
+        hit, n_ovf, sus_c = intersect_fn(sg(scene), sg(st.ro), sg(st.rd),
+                                         t_min, t_max)
+    else:
+        hit, n_ovf = intersect_fn(sg(scene), sg(st.ro), sg(st.rd), t_min,
+                                  t_max)
     # Name the traversal outputs as checkpoint residuals: under the
     # save_only_these_names policy (wavefront_accum), the remat replay of a
     # chunk's backward reads the SAVED (Q,)-sized hit records instead of
@@ -176,7 +213,16 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     tb, bb = make_coord_space(si.ns)
     wo = to_local(wo_world, tb, bb, si.ns)
     # Local accum index (dead lanes may land anywhere: they add 0.0).
-    pixel = (jnp.maximum(st.ray_id, 0) // cfg.spp - pix_lo) // pix_stride
+    if pix_ids is not None:
+        pixel = jnp.maximum(st.ray_id, 0) // cfg.spp  # ray_id is LOCAL
+    else:
+        pixel = (jnp.maximum(st.ray_id, 0) // cfg.spp - pix_lo) // pix_stride
+    if track_suspects:
+        # Per-pixel suspect flags: a pixel is suspect if ANY traversal of
+        # any of its path segments overflowed a static budget.  Dead lanes
+        # are never suspect (t_max < 0 spawns no candidates).
+        sus_px = st.suspect.at[pixel].max(
+            (sus_c & st.alive[:, 0]).astype(jnp.int32), mode="drop")
 
     contrib = jnp.zeros((Q, 3), jnp.float32)
     # Miss → environment radiance (same semantics as the oracle integrator).
@@ -202,7 +248,7 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     ns = cfg.ns_area_light
     for li in range(scene.lights.count):
         for s in range(ns):
-            u = draws_lane(key, st.ray_id, base + _LIGHT0 + li * ns + s, 2)
+            u = draws_lane(key, rid_g, base + _LIGHT0 + li * ns + s, 2)
             ls = lights_mod.sample_light(
                 scene.lights, li, si.p, u, env_map=scene.env_map,
                 env_tables=(scene.env_marg_cdf, scene.env_cond_cdf))
@@ -222,8 +268,16 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
             sh_tmax = jnp.where(mask, ls.dist * (1.0 - 1e-3), -1.0)
             if ray_probe is not None:
                 ray_probe.append((shadow_o, ls.wi, sh_tmax))
-            occ, ovf_s = occluded_fn(
-                sg(scene), sg(shadow_o), sg(ls.wi), sg(sh_tmax))
+            if track_suspects:
+                occ, ovf_s, sus_s = occluded_fn(
+                    sg(scene), sg(shadow_o), sg(ls.wi), sg(sh_tmax),
+                    narrow=shadow_narrow)
+                sus_px = sus_px.at[pixel].max(
+                    (sus_s & mask[:, 0]).astype(jnp.int32), mode="drop")
+            else:
+                occ, ovf_s = occluded_fn(
+                    sg(scene), sg(shadow_o), sg(ls.wi), sg(sh_tmax),
+                    narrow=shadow_narrow)
             occ = checkpoint_name(occ, "isect")
             n_ovf = n_ovf + checkpoint_name(ovf_s, "isect")
             w = f * ls.radiance * cos_s / (ls.pdf * ns)
@@ -253,14 +307,14 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
 
     # ---- Scatter to next bounce. ----
     max_depth = 0 if cfg.direct_only else cfg.max_depth
-    u3 = draws_lane(key, st.ray_id, base + _BSDF, 3)
+    u3 = draws_lane(key, rid_g, base + _BSDF, 3)
     bs = bsdf_mod.sample(si.mat, wo, jax.lax.stop_gradient(u3))
     wi_world = to_world(jax.lax.stop_gradient(bs.wi), tb, bb, si.ns)
     cont = alive & bs.valid & (st.depth < max_depth)[:, None]
     beta = st.beta * jnp.where(cont, bs.weight, 1.0)
     # Russian roulette on the segment about to be traced.
     do_rr = (st.depth + 1 >= cfg.rr_start)[:, None]
-    u_rr = draws_lane(key, st.ray_id, base + _RR, 1)
+    u_rr = draws_lane(key, rid_g, base + _RR, 1)
     rr_kill = do_rr & (u_rr >= cfg.rr_prob)
     beta = jnp.where(cont & do_rr, beta / cfg.rr_prob, beta)
     cont = cont & ~rr_kill
@@ -274,11 +328,13 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
         include_le=jnp.where(cont, bs.delta, st.include_le),
         alive=cont,
         accum=accum,
+        suspect=sus_px if track_suspects else st.suspect,
     )
     return st, (n_closest, n_shadow, n_ovf)
 
 
-def init_queue(Q: int, n_pix_local: int) -> QueueState:
+def init_queue(Q: int, n_pix_local: int,
+               track_suspects: bool = False) -> QueueState:
     """Fresh all-dead queue + zero accumulator (the scan/while carry)."""
     return QueueState(
         ro=jnp.zeros((Q, 3), jnp.float32),
@@ -290,6 +346,8 @@ def init_queue(Q: int, n_pix_local: int) -> QueueState:
         alive=jnp.zeros((Q, 1), bool),
         next_sample=jnp.int32(0),
         accum=jnp.zeros((n_pix_local, 3), jnp.float32),
+        suspect=jnp.zeros((n_pix_local if track_suspects else 1,),
+                          jnp.int32),
     )
 
 
@@ -310,7 +368,8 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
                     spp_lo=0, spp_count: int = 0, with_counts: bool = False,
                     fast: bool = False, psum_axis: str | None = None,
                     pix_stride: int = 1, steps_hint: int | None = None,
-                    with_done: bool = False):
+                    with_done: bool = False, with_suspects: bool = False,
+                    pix_ids=None):
     """Render pixels {pix_lo + j*pix_stride : j < n_pix_local} × samples
     [spp_lo, spp_lo+spp_count) -> (n_pix_local, 3) radiance sums (divide by
     cfg.spp for the full-spp mean).  pix_lo/spp_lo may be traced.
@@ -321,12 +380,16 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
     run, which is the "grad allreduce overlapped with the backward bounce
     sweep" of BASELINE.json config 5.  The caller must then NOT tail-psum
     the parameter grads again."""
-    from tpu_pt.render.driver import _intersectors_counted
+    from tpu_pt.render.driver import (_intersectors_counted,
+                                      _intersectors_suspect)
 
     spp_count = spp_count or cfg.spp
-    intersect_fn, occluded_fn = _intersectors_counted(backend, bvh)
+    if with_suspects:
+        intersect_fn, occluded_fn = _intersectors_suspect(backend, bvh)
+    else:
+        intersect_fn, occluded_fn = _intersectors_counted(backend, bvh)
     Q = min(queue, n_pix_local * spp_count)
-    st = init_queue(Q, n_pix_local)
+    st = init_queue(Q, n_pix_local, track_suspects=with_suspects)
     steps = n_steps(cfg, Q, n_pix_local, spp_count)
     if steps_hint is not None:
         # Tighter STATIC bound for the differentiable scan (VERDICT r3
@@ -348,6 +411,24 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
         # reverse-differentiable; the diff/dist paths use the scan below.
         total = jnp.int32(n_pix_local * spp_count)
 
+        # Wide warm-up PREFIX, unrolled before the loop: the first waves'
+        # shadow batches are fully occupied and wide-angle coherent — the
+        # binding any-hit pair population (r5: 884 step-0 truncations at
+        # 128² under the steady-state budget).  The prefix steps run the
+        # wide any-hit budget; the loop body then compiles the NARROW one
+        # (pair_mults[3], ~2/3 the width, +5% headline) statically — a
+        # runtime two-width lax.cond ladder measured CATASTROPHIC (-39%,
+        # XLA pays for both branches), the unrolled prefix costs nothing.
+        prefix = min(2, steps)
+        nc = ns = novf = jnp.int32(0)
+        for _ in range(prefix):
+            st, (c, s, o) = _step(scene, cam, cfg, key, intersect_fn,
+                                  occluded_fn, st, pix_lo, n_pix_local,
+                                  spp_lo, spp_count, pix_stride=pix_stride,
+                                  track_suspects=with_suspects,
+                                  pix_ids=pix_ids, shadow_narrow=False)
+            nc, ns, novf = nc + c, ns + s, novf + o
+
         def cond(carry):
             st, nc, ns, novf, i = carry
             return (i < steps) & (
@@ -357,14 +438,21 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
             st, nc, ns, novf, i = carry
             st, (c, s, o) = _step(scene, cam, cfg, key, intersect_fn,
                                   occluded_fn, st, pix_lo, n_pix_local,
-                                  spp_lo, spp_count, pix_stride=pix_stride)
+                                  spp_lo, spp_count, pix_stride=pix_stride,
+                                  track_suspects=with_suspects,
+                                  pix_ids=pix_ids,
+                                  # direct-only renders: EVERY wave is a
+                                  # fresh fully-occupied primary wave, so
+                                  # the steady-state budget never applies.
+                                  shadow_narrow=not cfg.direct_only)
             return st, nc + c, ns + s, novf + o, i + 1
 
         st, nc, ns, novf, n_iter = jax.lax.while_loop(
-            cond, wbody, (st, jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                          jnp.int32(0)))
+            cond, wbody, (st, nc, ns, novf, jnp.int32(prefix)))
         ret = (st.accum, (nc, ns, novf, n_iter)) if with_counts \
             else st.accum
+        if with_suspects:
+            ret = (*(ret if with_counts else (ret,)), st.suspect)
         if with_done:
             done = ~jnp.any(st.alive) & (st.next_sample >= total)
             return ret, done
@@ -373,7 +461,8 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
     def body(st, _):
         return _step(scene, cam, cfg, key, intersect_fn, occluded_fn, st,
                      pix_lo, n_pix_local, spp_lo, spp_count,
-                     pix_stride=pix_stride)
+                     pix_stride=pix_stride,
+                     track_suspects=with_suspects, pix_ids=pix_ids)
 
     # Differentiable path: √steps-chunked scan with rematerialization.  A
     # flat scan's adjoint stores EVERY carry (steps × (queue state + accum)
@@ -401,7 +490,8 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
             def body_c(st, _):
                 return _step(scene, cam, cfg, key, intersect_fn,
                              occluded_fn, st, pix_lo, n_pix_local, spp_lo,
-                             spp_count, pix_stride=pix_stride)
+                             spp_count, pix_stride=pix_stride,
+                             track_suspects=with_suspects, pix_ids=pix_ids)
 
             return jax.lax.scan(body_c, st, None, length=inner)
 
@@ -437,6 +527,8 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
     else:
         st, counts = jax.lax.scan(body, st, None, length=steps)
     ret = (st.accum, counts) if with_counts else st.accum
+    if with_suspects:
+        ret = (*(ret if with_counts else (ret,)), st.suspect)
     if with_done:
         done = ~jnp.any(st.alive) & (
             st.next_sample >= jnp.int32(n_pix_local * spp_count))
@@ -518,3 +610,57 @@ def render_wavefront_counts(scene: Scene, cam, cfg: RenderConfig, key, bvh,
     img = (accum / cfg.spp).reshape(cfg.height, cfg.width, 3)
     return (img, nc.astype(jnp.float32), ns.astype(jnp.float32), novf,
             n_iter)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "queue", "backend"))
+def render_wavefront_suspect_counts(scene: Scene, cam, cfg: RenderConfig,
+                                    key, bvh, queue: int = 1 << 17,
+                                    backend: str = "bvh"):
+    """render_wavefront_counts + a per-pixel SUSPECT flag image: pixel p is
+    flagged iff any traversal of any of its path segments overflowed a
+    static capacity budget, i.e. exactly the pixels a fallback-attached
+    re-render could change.  Input of repair_suspect_pixels."""
+    (accum, (nc, ns, novf, n_iter), sus) = wavefront_accum(
+        scene, cam, cfg, key, bvh, queue, backend, 0, cfg.n_pixels,
+        with_counts=True, fast=True, with_suspects=True)
+    img = (accum / cfg.spp).reshape(cfg.height, cfg.width, 3)
+    return (img, nc.astype(jnp.float32), ns.astype(jnp.float32), novf,
+            n_iter, sus)
+
+
+def repair_suspect_pixels(scene: Scene, cam, cfg: RenderConfig, key,
+                          bvh_exact, img, suspect_flags, queue: int = 1 << 17,
+                          backend: str = "cluster"):
+    """Re-render ONLY the suspect pixels with an exact BVH (fallback
+    attached) and splice them into ``img`` (H, W, 3) -> repaired image.
+
+    Cost scales with the suspect count, not the image size (VERDICT r4
+    weak #8): the pixel subset renders through the normal wavefront with a
+    ``pix_ids`` indirection; counter-based RNG keyed by GLOBAL (pixel,
+    sample, bounce) makes each repaired pixel bit-identical to its value
+    in a full-image exact render.  The subset is padded to the next power
+    of two (so repeat repairs share compile cache entries); padding
+    duplicates the first suspect — its duplicate rows land in distinct
+    local accumulator slots and are discarded on splice."""
+    import numpy as np
+
+    sus = np.flatnonzero(np.asarray(suspect_flags))
+    if len(sus) == 0:
+        return img, 0
+    n = 1 << max(4, (len(sus) - 1).bit_length())
+    ids = np.full((n,), sus[0], np.int32)
+    ids[: len(sus)] = sus
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "queue", "backend",
+                                                 "n_pix"))
+    def run(scene, cam, cfg, key, bvh, ids, queue, backend, n_pix):
+        accum, (nc, ns, novf, n_iter) = wavefront_accum(
+            scene, cam, cfg, key, bvh, queue, backend, 0, n_pix,
+            with_counts=True, fast=True, pix_ids=ids)
+        return accum / cfg.spp, novf
+
+    sub, novf = run(scene, cam, cfg, key, bvh_exact, jnp.asarray(ids),
+                    min(queue, n * cfg.spp), backend, n)
+    out = np.asarray(img).reshape(-1, 3).copy()
+    out[sus] = np.asarray(sub)[: len(sus)]
+    return out.reshape(cfg.height, cfg.width, 3), int(np.asarray(novf))
