@@ -88,6 +88,10 @@ def main() -> None:
                 os.environ["BENCH_SPLIT"])
         if os.environ.get("BENCH_SPLIT_ANYHIT"):
             _cl.SPLIT_ANYHIT = int(os.environ["BENCH_SPLIT_ANYHIT"])
+    if os.environ.get("BENCH_STEP_SLICES"):
+        from tpu_pt.render import wavefront as _wf
+
+        _wf.STEP_SLICES = int(os.environ["BENCH_STEP_SLICES"])
     if os.environ.get("BENCH_ANYHIT_MULT"):
         from tpu_pt.bvh import cluster as _cl
 
@@ -144,6 +148,20 @@ def main() -> None:
 
         packed = build_packed_any(scene)
     t_build = time.time() - t0
+
+    pm_env = os.environ.get("BENCH_PAIR_MULTS")
+    if pm_env and backend == "cluster":
+        # A/B: rebuild the ClusterBVH with explicit pair mults, e.g.
+        # BENCH_PAIR_MULTS=8,8,5,4 (top, mid, leaf, any-hit narrow).
+        from tpu_pt.bvh.cluster import ClusterBVH
+
+        pm = tuple(int(x) for x in pm_env.split(","))
+        packed = ClusterBVH(packed.levels, packed.tiles, packed.tile_gid,
+                            packed.frontiers, packed.k_leaf,
+                            packed.pair_budget, pair_mults=pm,
+                            levels16=packed.levels16,
+                            fallback=packed.fallback)
+        print(f"# pair_mults override: {packed.pair_mults}")
 
     # One-shot host→HBM upload (the tunnel makes per-call transfers slow).
     scene_d = jax.device_put(scene)

@@ -124,3 +124,22 @@ class TestStepBound:
         img2 = np.asarray(render_wavefront(scene, cam, cfg, key, bvh,
                                            queue=512, backend="bvh"))
         np.testing.assert_allclose(img2, ref, rtol=1e-4, atol=1e-5)
+
+    def test_step_slices_match(self):
+        """Whole-step lane slicing (r5): per-lane math is unchanged, so at
+        spp=1 (unique-pixel scatter) the sliced step must reproduce the
+        unsliced render bit-for-bit."""
+        from tpu_pt.render.wavefront import wavefront_accum
+
+        scene = jax.device_put(cornell.cornell("spheres"))
+        bvh = jax.device_put(build_bvh(cornell.cornell("spheres")))
+        cfg = _cfg(width=64, height=64, spp=1, rr_start=1, rr_prob=0.8)
+        cam = cornell.camera(64, 64)
+        key = jax.random.key(11)
+        a = np.asarray(wavefront_accum(scene, cam, cfg, key, bvh,
+                                       4096, "bvh", 0, cfg.n_pixels,
+                                       fast=True))
+        b = np.asarray(wavefront_accum(scene, cam, cfg, key, bvh,
+                                       4096, "bvh", 0, cfg.n_pixels,
+                                       fast=True, step_slices=2))
+        np.testing.assert_array_equal(a, b)

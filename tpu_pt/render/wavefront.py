@@ -47,6 +47,11 @@ from tpu_pt.render.integrator import _BSDF, _LIGHT0, _RR, _STRIDE, DRAW_JITTER, 
 from tpu_pt.scene.types import Scene
 
 
+# Default whole-step lane slicing for the fast renderer (see _step's
+# step_slices; overridable per call / via BENCH_STEP_SLICES in bench.py).
+STEP_SLICES = 1
+
+
 class QueueState(NamedTuple):
     """One lane per in-flight path segment."""
 
@@ -141,26 +146,107 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
           st: QueueState, pix_lo, n_pix_local, spp_lo, spp_count,
           ray_probe: list | None = None,
           pix_stride: int = 1, track_suspects: bool = False,
-          pix_ids=None, shadow_narrow: bool = False) -> QueueState:
+          pix_ids=None, shadow_narrow: bool = False,
+          step_slices: int = 1) -> QueueState:
     """One wavefront iteration: respawn → intersect → shade/NEE → scatter.
 
     ray_probe: observability hook — when a list is passed, every traversal's
     actual ray batch is appended as (ro, rd, t_max (Q,1)); entry 0 is the
     closest-hit batch, the rest are the NEE shadow batches.  This is the
     REAL mixed-depth population the capacity autotuner must cover
-    (cluster.autotune_for_render; VERDICT r3 task 1b)."""
+    (cluster.autotune_for_render; VERDICT r3 task 1b).
+
+    step_slices > 1 runs the post-respawn body as that many independent
+    strided lane slices, so slice i+1's closest traversal is independent
+    of slice i's shadow test and XLA can interleave their latency gaps —
+    the whole-step extension of the intra-traversal split.  Per-lane math
+    is unchanged; only the pair-budget slicing (counted) and, at spp>1,
+    the per-pixel float add order across slices can differ."""
     st = _respawn(cam, cfg, key, st, pix_lo, n_pix_local, spp_lo, spp_count,
                   pix_stride, pix_ids=pix_ids)
     Q = st.ro.shape[0]
-    rid_g = _global_ray_id(st.ray_id, cfg, pix_ids)  # RNG identity
-    n_closest = jnp.sum(st.alive[:, 0].astype(jnp.int32))  # rays traced now
-    base = 1 + st.depth * _STRIDE  # (Q,) per-lane draw base
+    k = step_slices
+    while k > 1 and (Q % k != 0 or Q // k < 2048):
+        k //= 2
+    if k > 1:
+        lanes = (st.ro, st.rd, st.beta, st.ray_id, st.depth, st.include_le,
+                 st.alive)
+        outs = [
+            _step_slice(scene, cam, cfg, key, intersect_fn, occluded_fn,
+                        tuple(x[i::k] for x in lanes), pix_lo, n_pix_local,
+                        spp_lo, ray_probe, pix_stride, track_suspects,
+                        pix_ids, shadow_narrow)
+            for i in range(k)
+        ]
+
+        def merge(vals):
+            v = jnp.stack(vals, 1)
+            return v.reshape(Q, *vals[0].shape[1:])
+
+        (contribs, pixels, conts, ros, rds, betas, incs, suss,
+         ncs, nss, novfs) = zip(*outs)
+        contrib, pixel, cont = merge(contribs), merge(pixels), merge(conts)
+        ro_n, rd_n, beta_n, inc_n = (merge(ros), merge(rds), merge(betas),
+                                     merge(incs))
+        sus_lane = merge(suss) if track_suspects else None
+        counts = (sum(ncs), sum(nss), sum(novfs))
+    else:
+        (contrib, pixel, cont, ro_n, rd_n, beta_n, inc_n, sus_lane,
+         nc, ns_, novf) = _step_slice(
+            scene, cam, cfg, key, intersect_fn, occluded_fn,
+            (st.ro, st.rd, st.beta, st.ray_id, st.depth, st.include_le,
+             st.alive), pix_lo, n_pix_local, spp_lo, ray_probe, pix_stride,
+            track_suspects, pix_ids, shadow_narrow)
+        counts = (nc, ns_, novf)
+
+    if track_suspects:
+        sus_px = st.suspect.at[pixel].max(sus_lane, mode="drop")
+    if cfg.spp == 1:
+        # spp=1: in-flight ray ids are unique and ray_id == pixel, so live
+        # lanes scatter to DISTINCT pixels; dead lanes are remapped to
+        # distinct out-of-bounds slots (dropped).  unique_indices lets XLA
+        # skip the sort-based duplicate-combining scatter expansion —
+        # bit-identical result (exactly one add per pixel either way).
+        lane = jnp.arange(Q, dtype=jnp.int32)
+        pixel_u = jnp.where(st.alive[:, 0], pixel, n_pix_local + lane)
+        accum = st.accum.at[pixel_u].add(
+            jnp.where(st.alive, contrib, 0.0), mode="drop",
+            unique_indices=True)
+    else:
+        accum = st.accum.at[pixel].add(
+            jnp.where(st.alive, contrib, 0.0), mode="drop"
+        )
+    st = st._replace(
+        ro=jnp.where(cont, ro_n, st.ro),
+        rd=jnp.where(cont, rd_n, st.rd),
+        beta=jnp.where(cont, beta_n, st.beta),
+        depth=st.depth + 1,
+        include_le=jnp.where(cont, inc_n, st.include_le),
+        alive=cont,
+        accum=accum,
+        suspect=sus_px if track_suspects else st.suspect,
+    )
+    return st, counts
+
+
+def _step_slice(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn,
+                occluded_fn, lanes, pix_lo, n_pix_local, spp_lo,
+                ray_probe, pix_stride, track_suspects, pix_ids,
+                shadow_narrow):
+    """Post-respawn step body for one lane slice.  Returns per-lane
+    (contrib, pixel, cont, ro_next, rd_next, beta_next, include_le_next,
+    suspect_lane, n_closest, n_shadow, n_ovf)."""
+    ro0, rd0, beta0, ray_id, depth, include_le, alive0 = lanes
+    Q = ro0.shape[0]
+    rid_g = _global_ray_id(ray_id, cfg, pix_ids)  # RNG identity
+    n_closest = jnp.sum(alive0[:, 0].astype(jnp.int32))  # rays traced now
+    base = 1 + depth * _STRIDE  # (Q,) per-lane draw base
 
     t_min = jnp.zeros((Q, 1), jnp.float32)
     # Dead lanes get t_max < t_min: every backend reports a trivial miss
     # AND the pair-major cluster walk spawns no candidate pairs for them
     # (budget + work proportional to LIVE lanes only).
-    t_max = jnp.where(st.alive, 1e30, -1.0)
+    t_max = jnp.where(alive0, 1e30, -1.0)
     # Traversal is DETACHED on both sides: every intersect output is already
     # stop_gradient'ed downstream (shade_info detaches t/u/v; hit/prim are
     # bool/int), so detaching the ray inputs changes no gradient value — but
@@ -169,12 +255,12 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
     # the dominant cost of the backward pass; see BASELINE.md config 4).
     sg = jax.lax.stop_gradient
     if ray_probe is not None:
-        ray_probe.append((st.ro, st.rd, t_max))
+        ray_probe.append((ro0, rd0, t_max))
     if track_suspects:
-        hit, n_ovf, sus_c = intersect_fn(sg(scene), sg(st.ro), sg(st.rd),
+        hit, n_ovf, sus_c = intersect_fn(sg(scene), sg(ro0), sg(rd0),
                                          t_min, t_max)
     else:
-        hit, n_ovf = intersect_fn(sg(scene), sg(st.ro), sg(st.rd), t_min,
+        hit, n_ovf = intersect_fn(sg(scene), sg(ro0), sg(rd0), t_min,
                                   t_max)
     # Name the traversal outputs as checkpoint residuals: under the
     # save_only_these_names policy (wavefront_accum), the remat replay of a
@@ -206,37 +292,37 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
                               & (hit.v[:, 0] >= -1e-4) & (uv <= 1 + 1e-4),
                               True)),
             "traversal: barycentrics outside the triangle")
-        checkify.check(jnp.all(jnp.isfinite(st.beta)),
+        checkify.check(jnp.all(jnp.isfinite(beta0)),
                        "wavefront: non-finite path throughput")
-    si = shade_info(scene, st.ro, st.rd, hit)
-    wo_world = -st.rd
+    si = shade_info(scene, ro0, rd0, hit)
+    wo_world = -rd0
     tb, bb = make_coord_space(si.ns)
     wo = to_local(wo_world, tb, bb, si.ns)
     # Local accum index (dead lanes may land anywhere: they add 0.0).
     if pix_ids is not None:
-        pixel = jnp.maximum(st.ray_id, 0) // cfg.spp  # ray_id is LOCAL
+        pixel = jnp.maximum(ray_id, 0) // cfg.spp  # ray_id is LOCAL
     else:
-        pixel = (jnp.maximum(st.ray_id, 0) // cfg.spp - pix_lo) // pix_stride
+        pixel = (jnp.maximum(ray_id, 0) // cfg.spp - pix_lo) // pix_stride
+    sus_lane = None
     if track_suspects:
-        # Per-pixel suspect flags: a pixel is suspect if ANY traversal of
-        # any of its path segments overflowed a static budget.  Dead lanes
-        # are never suspect (t_max < 0 spawns no candidates).
-        sus_px = st.suspect.at[pixel].max(
-            (sus_c & st.alive[:, 0]).astype(jnp.int32), mode="drop")
+        # Per-lane suspect: this lane's path overflowed a static budget in
+        # ANY of this step's traversals.  Dead lanes are never suspect
+        # (t_max < 0 spawns no candidates).
+        sus_lane = (sus_c & alive0[:, 0]).astype(jnp.int32)
 
     contrib = jnp.zeros((Q, 3), jnp.float32)
     # Miss → environment radiance (same semantics as the oracle integrator).
     from tpu_pt.render.envmap import eval_env
 
     contrib = contrib + jnp.where(
-        st.alive & ~hit.hit & st.include_le,
-        st.beta * eval_env(scene.env_map, st.rd), 0.0,
+        alive0 & ~hit.hit & include_le,
+        beta0 * eval_env(scene.env_map, rd0), 0.0,
     )
-    alive = st.alive & hit.hit
+    alive = alive0 & hit.hit
     # Emission at hit (one-sided).
     front = dot(wo_world, si.ns) > 0.0
     contrib = contrib + jnp.where(
-        alive & st.include_le & front, st.beta * si.mat.emission, 0.0
+        alive & include_le & front, beta0 * si.mat.emission, 0.0
     )
 
     # ---- Next-event estimation. ----
@@ -272,8 +358,8 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
                 occ, ovf_s, sus_s = occluded_fn(
                     sg(scene), sg(shadow_o), sg(ls.wi), sg(sh_tmax),
                     narrow=shadow_narrow)
-                sus_px = sus_px.at[pixel].max(
-                    (sus_s & mask[:, 0]).astype(jnp.int32), mode="drop")
+                sus_lane = jnp.maximum(
+                    sus_lane, (sus_s & mask[:, 0]).astype(jnp.int32))
             else:
                 occ, ovf_s = occluded_fn(
                     sg(scene), sg(shadow_o), sg(ls.wi), sg(sh_tmax),
@@ -281,56 +367,33 @@ def _step(scene: Scene, cam, cfg: RenderConfig, key, intersect_fn, occluded_fn,
             occ = checkpoint_name(occ, "isect")
             n_ovf = n_ovf + checkpoint_name(ovf_s, "isect")
             w = f * ls.radiance * cos_s / (ls.pdf * ns)
-            contrib = contrib + jnp.where(mask & ~occ, st.beta * w, 0.0)
+            contrib = contrib + jnp.where(mask & ~occ, beta0 * w, 0.0)
 
     if cfg.debug_checks:
         from jax.experimental import checkify
 
         checkify.check(
-            jnp.all(jnp.isfinite(jnp.where(st.alive, contrib, 0.0))),
+            jnp.all(jnp.isfinite(jnp.where(alive0, contrib, 0.0))),
             "shading: non-finite radiance contribution")
-    if cfg.spp == 1:
-        # spp=1: in-flight ray ids are unique and ray_id == pixel, so live
-        # lanes scatter to DISTINCT pixels; dead lanes are remapped to
-        # distinct out-of-bounds slots (dropped).  unique_indices lets XLA
-        # skip the sort-based duplicate-combining scatter expansion —
-        # bit-identical result (exactly one add per pixel either way).
-        lane = jnp.arange(Q, dtype=jnp.int32)
-        pixel_u = jnp.where(st.alive[:, 0], pixel, n_pix_local + lane)
-        accum = st.accum.at[pixel_u].add(
-            jnp.where(st.alive, contrib, 0.0), mode="drop",
-            unique_indices=True)
-    else:
-        accum = st.accum.at[pixel].add(
-            jnp.where(st.alive, contrib, 0.0), mode="drop"
-        )
 
     # ---- Scatter to next bounce. ----
     max_depth = 0 if cfg.direct_only else cfg.max_depth
     u3 = draws_lane(key, rid_g, base + _BSDF, 3)
     bs = bsdf_mod.sample(si.mat, wo, jax.lax.stop_gradient(u3))
     wi_world = to_world(jax.lax.stop_gradient(bs.wi), tb, bb, si.ns)
-    cont = alive & bs.valid & (st.depth < max_depth)[:, None]
-    beta = st.beta * jnp.where(cont, bs.weight, 1.0)
+    cont = alive & bs.valid & (depth < max_depth)[:, None]
+    beta = beta0 * jnp.where(cont, bs.weight, 1.0)
     # Russian roulette on the segment about to be traced.
-    do_rr = (st.depth + 1 >= cfg.rr_start)[:, None]
+    do_rr = (depth + 1 >= cfg.rr_start)[:, None]
     u_rr = draws_lane(key, rid_g, base + _RR, 1)
     rr_kill = do_rr & (u_rr >= cfg.rr_prob)
     beta = jnp.where(cont & do_rr, beta / cfg.rr_prob, beta)
     cont = cont & ~rr_kill
 
-    ro_next = si.p + si.ng * jnp.where(dot(wi_world, si.ng) > 0.0, cfg.eps, -cfg.eps)
-    st = st._replace(
-        ro=jnp.where(cont, ro_next, st.ro),
-        rd=jnp.where(cont, wi_world, st.rd),
-        beta=jnp.where(cont, beta, st.beta),
-        depth=st.depth + 1,
-        include_le=jnp.where(cont, bs.delta, st.include_le),
-        alive=cont,
-        accum=accum,
-        suspect=sus_px if track_suspects else st.suspect,
-    )
-    return st, (n_closest, n_shadow, n_ovf)
+    ro_next = si.p + si.ng * jnp.where(dot(wi_world, si.ng) > 0.0, cfg.eps,
+                                       -cfg.eps)
+    return (contrib, pixel, cont, ro_next, wi_world, beta, bs.delta,
+            sus_lane, n_closest, n_shadow, n_ovf)
 
 
 def init_queue(Q: int, n_pix_local: int,
@@ -369,7 +432,7 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
                     fast: bool = False, psum_axis: str | None = None,
                     pix_stride: int = 1, steps_hint: int | None = None,
                     with_done: bool = False, with_suspects: bool = False,
-                    pix_ids=None):
+                    pix_ids=None, step_slices: int | None = None):
     """Render pixels {pix_lo + j*pix_stride : j < n_pix_local} × samples
     [spp_lo, spp_lo+spp_count) -> (n_pix_local, 3) radiance sums (divide by
     cfg.spp for the full-spp mean).  pix_lo/spp_lo may be traced.
@@ -383,6 +446,8 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
     from tpu_pt.render.driver import (_intersectors_counted,
                                       _intersectors_suspect)
 
+    if step_slices is None:
+        step_slices = STEP_SLICES
     spp_count = spp_count or cfg.spp
     if with_suspects:
         intersect_fn, occluded_fn = _intersectors_suspect(backend, bvh)
@@ -426,7 +491,8 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
                                   occluded_fn, st, pix_lo, n_pix_local,
                                   spp_lo, spp_count, pix_stride=pix_stride,
                                   track_suspects=with_suspects,
-                                  pix_ids=pix_ids, shadow_narrow=False)
+                                  pix_ids=pix_ids, shadow_narrow=False,
+                                  step_slices=step_slices)
             nc, ns, novf = nc + c, ns + s, novf + o
 
         def cond(carry):
@@ -444,7 +510,8 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
                                   # direct-only renders: EVERY wave is a
                                   # fresh fully-occupied primary wave, so
                                   # the steady-state budget never applies.
-                                  shadow_narrow=not cfg.direct_only)
+                                  shadow_narrow=not cfg.direct_only,
+                                  step_slices=step_slices)
             return st, nc + c, ns + s, novf + o, i + 1
 
         st, nc, ns, novf, n_iter = jax.lax.while_loop(
