@@ -1641,7 +1641,7 @@ def autotune_for_render(scene: Scene, cam, cfg, queue: int = 4096,
         # truncations missed by a warmed-only probe) — while later steps
         # supply the mixed-depth population; the max covers both.
 
-        def body(carry, _):
+        def body(carry, step_i):
             s, need_max, pair_max = carry
             probes = []
             s, _ = W._step(scene_d, cam, cfg, key, ifn, ofn, s, pix_lo,
@@ -1654,29 +1654,37 @@ def autotune_for_render(scene: Scene, cam, cfg, queue: int = 4096,
                     collect=collect)
                 need = jnp.stack([jnp.max(n) for n, _ in collect])
                 need_max = jnp.maximum(need_max, need)
-                # Probe 0 is the closest-hit batch; the rest are NEE
-                # shadow batches — budgeted separately (pair_mults[3]).
+                # Pair sizing mirrors the production budget structure:
+                # slot 0 sizes the WIDE budget (pair_mults[2]): closest
+                # batches of every step PLUS shadow batches of the first
+                # waves (the wavefront's unrolled wide prefix serves
+                # those).  Slot 1 sizes the NARROW any-hit budget
+                # (pair_mults[3]): shadow batches AFTER the prefix only.
                 # The budget applies PER STRIDED SUB-BATCH in production
                 # (SPLIT_CLOSEST/SPLIT_ANYHIT), so size from the max
-                # per-slice pair sum, normalized per ray of slice width —
-                # whole-batch totals carry the coherent-peak inflation
-                # (~1.4x) that strided slices flatten, and sizing from
-                # them cost the r5-measured 26% autotune penalty (mults
-                # 9/7 vs the end-to-end-verified 6/4).
-                kind = 0 if j == 0 else 1
+                # per-slice pair sum (whole-batch totals carry ~1.4x
+                # coherent-peak inflation that strided slices flatten —
+                # the r5-measured 26% autotune penalty).
                 ks = _split_batches(live.shape[0],
                                     SPLIT_CLOSEST if j == 0 else
                                     SPLIT_ANYHIT)
                 per_ray = jnp.max(jnp.stack([
                     jnp.sum(live[i::ks], dtype=jnp.int32)
                     for i in range(ks)])) * ks
-                pair_max = pair_max.at[kind].max(per_ray)
+                if j == 0:
+                    pair_max = pair_max.at[0].max(per_ray)
+                else:
+                    in_prefix = step_i < W.WIDE_PREFIX_STEPS
+                    pair_max = pair_max.at[0].max(
+                        jnp.where(in_prefix, per_ray, 0))
+                    pair_max = pair_max.at[1].max(
+                        jnp.where(in_prefix, 0, per_ray))
             return (s, need_max, pair_max), None
 
         (_, need_max, pair_max), _ = jax.lax.scan(
             body, (st, jnp.zeros((L,), jnp.int32),
-                   jnp.zeros((2,), jnp.int32)), None,
-            length=warm_steps + probe_steps)
+                   jnp.zeros((2,), jnp.int32)),
+            jnp.arange(warm_steps + probe_steps))
         return need_max, pair_max
 
     need_max = np.zeros((L,), np.int64)
@@ -1699,7 +1707,7 @@ def autotune_for_render(scene: Scene, cam, cfg, queue: int = 4096,
     # No extra coherence factor on top: the per-slice maxima already
     # reflect what a production sub-batch carries (strided slices are
     # pixel-decorrelated at any resolution).
-    pair_slack = min(slack, 1.15)
+    pair_slack = min(slack, 1.05)
     leaf_mult = max(2, int(np.ceil(pair_max[0] * pair_slack / Q)))
     anyhit_mult = max(2, int(np.ceil(pair_max[1] * pair_slack / Q)))
     tuned = build_cluster_bvh(

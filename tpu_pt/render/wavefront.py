@@ -51,6 +51,13 @@ from tpu_pt.scene.types import Scene
 # step_slices; overridable per call / via BENCH_STEP_SLICES in bench.py).
 STEP_SLICES = 1
 
+# Unrolled wide-budget warm-up steps before the fast path's while_loop: the
+# first waves' shadow batches are fully occupied and wide-angle coherent,
+# so they run the WIDE any-hit pair budget; the loop body then compiles the
+# narrow steady-state budget statically.  The autotuner's pair attribution
+# mirrors this split (cluster.autotune_for_render).
+WIDE_PREFIX_STEPS = 2
+
 
 class QueueState(NamedTuple):
     """One lane per in-flight path segment."""
@@ -484,7 +491,7 @@ def wavefront_accum(scene: Scene, cam, cfg: RenderConfig, key, bvh,
         # (pair_mults[3], ~2/3 the width, +5% headline) statically — a
         # runtime two-width lax.cond ladder measured CATASTROPHIC (-39%,
         # XLA pays for both branches), the unrolled prefix costs nothing.
-        prefix = min(2, steps)
+        prefix = min(WIDE_PREFIX_STEPS, steps)
         nc = ns = novf = jnp.int32(0)
         for _ in range(prefix):
             st, (c, s, o) = _step(scene, cam, cfg, key, intersect_fn,
