@@ -154,7 +154,8 @@ class ClusterBVH:
         # it — e.g. the fully-occupied wide-angle step-0 shadow wave of a
         # small render, measured needing mult 5 at 128² — take the WIDE
         # rung (pair_mults[2]) of the runtime budget ladder
-        # (_budget_ladder) instead of truncating.  Legacy 3-tuples get the
+        # (the wavefront's unrolled wide prefix) instead of truncating.
+        # Legacy 3-tuples get the
         # derived default.
         pair_mults = tuple(pair_mults)
         if len(pair_mults) == 3:
