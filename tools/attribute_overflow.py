@@ -62,7 +62,8 @@ def make_stat_fns(cb, n_sources=2):
         hit, _ = C.intersect_counted(cb, scene, ro, rd, t_min, t_max)
         return hit, stats_for(ro, rd, t_min[:, 0], t_max[:, 0], 0)
 
-    def occl(scene, ro, rd, t_max):
+    def occl(scene, ro, rd, t_max, narrow=False):
+        del narrow  # attribution probes always use the wide budget
         occ, _ = C.occluded_counted(cb, scene, ro, rd, t_max)
         t_max_b = jnp.broadcast_to(t_max, (ro.shape[0], 1))
         return occ, stats_for(ro, rd, jnp.zeros((ro.shape[0],)),
@@ -100,17 +101,7 @@ def main():
     L = len(cb.levels)
 
     n_pix = cfg.n_pixels
-    st = W.QueueState(
-        ro=jnp.zeros((Q, 3), jnp.float32),
-        rd=jnp.concatenate([jnp.zeros((Q, 2)), jnp.ones((Q, 1))], -1),
-        beta=jnp.zeros((Q, 3), jnp.float32),
-        ray_id=jnp.full((Q,), -1, jnp.int32),
-        depth=jnp.zeros((Q,), jnp.int32),
-        include_le=jnp.zeros((Q, 1), bool),
-        alive=jnp.zeros((Q, 1), bool),
-        next_sample=jnp.int32(0),
-        accum=jnp.zeros((n_pix, 3), jnp.float32),
-    )
+    st = W.init_queue(Q, n_pix)
 
     @jax.jit
     def run(st):
