@@ -69,7 +69,8 @@ def _pad_pixels(n_pix: int, n_shards: int) -> int:
 
 def render_sharded(scene: Scene, cam, cfg: RenderConfig, key, bvh, mesh: Mesh,
                    queue: int = 1 << 15, backend: str = "bvh",
-                   interleave: bool = True, with_stats: bool = False):
+                   interleave: bool = True, with_stats: bool = False,
+                   fast: bool = False):
     """Tile-sharded render over `mesh` -> (H, W, 3) on host.
 
     interleave=False: shard s renders the contiguous pixel block
@@ -90,6 +91,14 @@ def render_sharded(scene: Scene, cam, cfg: RenderConfig, key, bvh, mesh: Mesh,
     with_stats=True also returns per-shard measured load counters
     (steps_run, n_closest, n_shadow, n_overflow) — the observability that
     sizes the imbalance (VERDICT r3 task 4).
+
+    fast=True uses the early-exit while_loop per shard (each shard stops
+    when its sample budget drains) — the production-pod setting.  The
+    default stays the fixed-length scan because it is BIT-identical to
+    the single-device scan render (the repo's sharding-correctness
+    gate); the fast path's unrolled wide-budget prefix compiles with
+    ~1-ULP different FMA scheduling (r5, see test_dist).  with_stats
+    implies fast.
     """
     n = mesh.devices.size
     padded = _pad_pixels(cfg.n_pixels, n)
@@ -120,7 +129,7 @@ def render_sharded(scene: Scene, cam, cfg: RenderConfig, key, bvh, mesh: Mesh,
             return accum, stats
         return wavefront_accum(
             scene_r, cam_r, cfg, key, bvh_r, queue, backend, pix_lo, block,
-            pix_stride=stride)
+            pix_stride=stride, fast=fast)
 
     shard_ids = jnp.arange(n, dtype=jnp.int32)
     # jit the shard_map: eager shard_map can't evaluate the closed_call the
