@@ -96,6 +96,13 @@ def main() -> None:
         from tpu_pt.bvh import cluster as _cl
 
         _cl.ANYHIT_MULT = int(os.environ["BENCH_ANYHIT_MULT"])
+    if os.environ.get("BENCH_SCAN_REDUCE"):
+        # A/B override for the Pallas segmented-scan pair reduce
+        # (kernels/pair_scan.py, default ON): =0 reverts to the XLA
+        # 3-key sort (closest) / scatter-add (any-hit).
+        from tpu_pt.bvh import cluster as _cl
+
+        _cl.USE_SCAN_REDUCE = os.environ["BENCH_SCAN_REDUCE"] != "0"
     if os.environ.get("BENCH_DEDUP"):
         # Cluster-major pair stage: cid-sorted pairs + masked-DMA Pallas
         # kernel (uniform groups fetch one tile for 8 pairs).
@@ -112,10 +119,13 @@ def main() -> None:
             from tpu_pt.bvh.cluster import build_cluster_device
 
             scene = jax.device_put(scene)
-            cs = float(os.environ.get("BENCH_LBVH_SCALE", "2.0"))
+            cs = float(os.environ.get("BENCH_LBVH_SCALE", "1.35"))
+            tau = os.environ.get("BENCH_LBVH_TAU")  # "none" disables refine
+            tau = (None if tau and tau.lower() == "none"
+                   else float(tau) if tau else 0.5)
             packed = jax.jit(build_cluster_device,
                              static_argnames=("pair_budget", "cap_scale"))(
-                scene, pair_budget=pb, cap_scale=cs)
+                scene, pair_budget=pb, cap_scale=cs, split_tau=tau)
             np.asarray(packed.tiles[0, 0, 0])  # fetch-sync
         elif os.environ.get("BENCH_AUTOTUNE"):
             # Frontier caps + pair budget sized from probe runs of the REAL
@@ -155,7 +165,8 @@ def main() -> None:
         # BENCH_PAIR_MULTS=8,8,5,4 (top, mid, leaf, any-hit narrow).
         from tpu_pt.bvh.cluster import ClusterBVH
 
-        pm = tuple(int(x) for x in pm_env.split(","))
+        pm = tuple(float(x) if "." in x else int(x)
+                   for x in pm_env.split(","))
         packed = ClusterBVH(packed.levels, packed.tiles, packed.tile_gid,
                             packed.frontiers, packed.k_leaf,
                             packed.pair_budget, pair_mults=pm,

@@ -322,3 +322,27 @@ def test_split_traversal_bit_identical(setups, monkeypatch):
         np.testing.assert_array_equal(np.asarray(u0), np.asarray(u))
         np.testing.assert_array_equal(np.asarray(v0), np.asarray(v))
         np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ))
+
+
+def test_scan_reduce_matches_sort_reduce(setups):
+    """The Pallas segmented-scan reduce (USE_SCAN_REDUCE) is bit-identical
+    to the production sort reduce for both closest and any-hit — same
+    lowest-t / lowest-gid winner per ray (SURVEY.md §4 item 2)."""
+    scene, cb = setups["big"]
+    ro, rd = _rays(2048, 29)
+    tmin = jnp.zeros((2048, 1))
+    tmax = jnp.full((2048, 1), 1e30)
+    old = cl.USE_SCAN_REDUCE
+    try:
+        cl.USE_SCAN_REDUCE = False
+        h0 = cl.intersect(cb, scene, ro, rd, tmin, tmax)
+        o0 = cl.occluded(cb, scene, ro, rd, tmax)
+        cl.USE_SCAN_REDUCE = True
+        h1 = cl.intersect(cb, scene, ro, rd, tmin, tmax)
+        o1 = cl.occluded(cb, scene, ro, rd, tmax)
+    finally:
+        cl.USE_SCAN_REDUCE = old
+    for f in ("t", "hit", "prim", "u", "v"):
+        np.testing.assert_array_equal(np.asarray(getattr(h0, f)),
+                                      np.asarray(getattr(h1, f)), err_msg=f)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))

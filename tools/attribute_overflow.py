@@ -46,7 +46,7 @@ def make_stat_fns(cb, n_sources=2):
             cb, ro, 1.0 / rd, t_min1[:, None], t_max1[:, None],
             collect=collect)
         Q = ro.shape[0]
-        budget = cb.pair_mults[2] * Q
+        budget = int(cb.pair_mults[2] * Q)
         rayP, _, dropped, _, _, _ = C._flat_pairs(cand, live, Q, budget)
         vec = jnp.zeros((2 * L + 2,), jnp.float32)
         for l, (needed, trunc) in enumerate(collect):

@@ -323,12 +323,65 @@ def _ladder_sizes(C: int, dense_start: int):
     return [top * 8 ** l for l in range(n_levels)]  # top-first
 
 
+def _sah_split_round(rows, gid_f, live, lo_f, hi_f, C: int, tile: int,
+                     split_tau):
+    """One SAH-swept window-split round of the device cluster build.
+
+    Treats each of the C current chunks (contiguously lane-filled from 0)
+    as a window, sweeps all internal cut positions via prefix/suffix box
+    scans (exact 1-D SAH: areaL·nL + areaR·nR), and splits the window into
+    chunk slots 2w / 2w+1 iff the best cut beats ``split_tau`` × the
+    unsplit cost.  Unsplit windows leave slot 2w+1 empty (inverted AABB —
+    never a candidate).  All static shapes: returns arrays of size 2C·tile
+    and the new chunk count 2C."""
+    lo_w = lo_f.reshape(C, tile, 3)
+    hi_w = hi_f.reshape(C, tile, 3)
+    pre_lo = jax.lax.cummin(lo_w, axis=1)
+    pre_hi = jax.lax.cummax(hi_w, axis=1)
+    suf_lo = jax.lax.cummin(lo_w, axis=1, reverse=True)
+    suf_hi = jax.lax.cummax(hi_w, axis=1, reverse=True)
+
+    def _area(l, h):
+        d = jnp.maximum(h - l, 0.0)
+        return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+                      + d[..., 2] * d[..., 0])
+
+    live_w = live.reshape(C, tile)
+    n_w = jnp.sum(live_w, axis=1, dtype=jnp.int32)          # live per window
+    i_cut = jnp.arange(1, tile)
+    nL = jnp.minimum(i_cut[None, :], n_w[:, None]).astype(jnp.float32)
+    nR = n_w[:, None].astype(jnp.float32) - nL
+    # Cut at i: left = lanes [0, i) (prefix index i-1), right = [i, tile).
+    cost = (_area(pre_lo[:, :-1], pre_hi[:, :-1]) * nL
+            + _area(suf_lo[:, 1:], suf_hi[:, 1:]) * nR)
+    whole = _area(pre_lo[:, -1], pre_hi[:, -1]) * n_w.astype(jnp.float32)
+    best = jnp.argmin(cost, axis=1).astype(jnp.int32)
+    do_split = jnp.min(cost, axis=1) < split_tau * whole
+    cut = jnp.where(do_split, best + 1, tile)               # (C,)
+
+    o = jnp.broadcast_to(jnp.arange(tile)[None, :], (C, tile))
+    right = o >= cut[:, None]
+    w_ix = jnp.broadcast_to(jnp.arange(C)[:, None], (C, tile))
+    chunk = 2 * w_ix + right.astype(jnp.int32)
+    lane = o - jnp.where(right, cut[:, None], 0)
+    slot = (chunk * tile + lane).reshape(-1)                # unique slots
+    C2 = 2 * C
+    rows = jnp.zeros((C2 * tile, 12)).at[slot].set(rows)
+    gid_f = jnp.zeros((C2 * tile,), jnp.int32).at[slot].set(gid_f)
+    live = jnp.zeros((C2 * tile,), bool).at[slot].set(live)
+    lo_f = jnp.full((C2 * tile, 3), jnp.inf).at[slot].set(lo_f)
+    hi_f = jnp.full((C2 * tile, 3), -jnp.inf).at[slot].set(hi_f)
+    return rows, gid_f, live, lo_f, hi_f, C2
+
+
 def build_cluster_device(scene: Scene, tile: int = TILE,
                          frontiers: Sequence[int] | None = None,
                          k_leaf: int | None = None,
                          pair_budget: int | None = None,
                          dense_start: int = 512,
-                         cap_scale: float = 2.0) -> ClusterBVH:
+                         cap_scale: float = 1.35,
+                         split_tau: float | None = 0.5,
+                         split_rounds: int = 1) -> ClusterBVH:
     """DEVICE cluster build — the LBVH-style fast path (BASELINE.json
     config 3: "LBVH device build, Morton sort on device").
 
@@ -337,6 +390,18 @@ def build_cluster_device(scene: Scene, tile: int = TILE,
     ops on static shapes (jit-able, reruns per animation frame).  Cluster
     quality is below the host SAH build (Morton chunks overlap more), which
     costs traversal time, not correctness — same capacity contract.
+
+    split_tau (r5, VERDICT r4 task 4's quality lever): SAH-swept window
+    refinement.  Each ``tile``-wide Morton window is swept for its best
+    internal cut with prefix/suffix box scans (exact 1-D SAH over all 127
+    cut positions, pure cummin/cummax on the lane axis); the window splits
+    into two chunks iff the best cut's SAH cost — areaL·nL + areaR·nR —
+    drops below ``split_tau`` × the unsplit cost.  Chunk slots are STATIC
+    (2 per window; unsplit windows leave slot 2w+1 empty with an inverted
+    AABB that never attracts candidates), so the build stays jit-able with
+    shapes known at trace time.  This targets exactly the Morton-chunk
+    failure mode: windows straddling a Z-order jump union two distant
+    blobs into one huge box.  ``None`` disables (plain chunking).
     """
     from tpu_pt.bvh.lbvh import morton_codes
 
@@ -382,22 +447,30 @@ def build_cluster_device(scene: Scene, tile: int = TILE,
     C = -(-P // tile)
     pad = C * tile - P
     rows = jnp.concatenate([rows, jnp.zeros((pad, 12))], axis=0)
-    gid = jnp.concatenate([og, jnp.zeros((pad,), jnp.int32)])
-    gid = gid.reshape(C, tile)
-    # Sort lanes by gid within each cluster (lowest-gid tie rule; padding
-    # rows are all-zero and never hit, so their position is irrelevant).
-    lane_o = jnp.argsort(gid, axis=1).astype(jnp.int32)
-    gid = jnp.take_along_axis(gid, lane_o, axis=1)
+    gid_f = jnp.concatenate([og, jnp.zeros((pad,), jnp.int32)])
+    live = jnp.arange(C * tile) < P
+    lo_f = jnp.concatenate([lo[og], jnp.full((pad, 3), jnp.inf)], axis=0)
+    hi_f = jnp.concatenate([hi[og], jnp.full((pad, 3), -jnp.inf)], axis=0)
+
+    if split_tau is not None:
+        for _ in range(max(1, int(split_rounds))):
+            rows, gid_f, live, lo_f, hi_f, C = _sah_split_round(
+                rows, gid_f, live, lo_f, hi_f, C, tile, split_tau)
+
+    gid = gid_f.reshape(C, tile)
+    live_w = live.reshape(C, tile)
+    # Sort lanes by gid within each cluster, padding lanes last (lowest-gid
+    # tie rule; padding rows are all-zero and never hit, gid 0 by contract).
+    key = jnp.where(live_w, gid, jnp.int32(2**31 - 1))
+    lane_o = jnp.argsort(key, axis=1).astype(jnp.int32)
+    gid = jnp.where(jnp.take_along_axis(live_w, lane_o, axis=1),
+                    jnp.take_along_axis(gid, lane_o, axis=1), 0)
     rows = jnp.take_along_axis(
         rows.reshape(C, tile, 12), lane_o[:, :, None], axis=1)
     tiles = rows.transpose(0, 2, 1)
 
-    lo_s = jnp.concatenate(
-        [lo[og], jnp.full((pad, 3), jnp.inf)], axis=0).reshape(C, tile, 3)
-    hi_s = jnp.concatenate(
-        [hi[og], jnp.full((pad, 3), -jnp.inf)], axis=0).reshape(C, tile, 3)
-    c_lo = jnp.min(lo_s, axis=1)
-    c_hi = jnp.max(hi_s, axis=1)
+    c_lo = jnp.min(lo_f.reshape(C, tile, 3), axis=1)
+    c_hi = jnp.max(hi_f.reshape(C, tile, 3), axis=1)
 
     sizes = _ladder_sizes(C, dense_start)
     pad_c = sizes[-1] - C
@@ -418,8 +491,15 @@ def build_cluster_device(scene: Scene, tile: int = TILE,
         # 733,453 candidates (r5 measurement).  cap_scale widens the
         # geometric defaults to cover the quality gap; the extra width is
         # the honest traversal-time cost of the fast device build.
+        # With SAH window refinement the tables are 2x-padded (half the
+        # slots empty), so the n^(1/3) cap model runs on the PRE-SPLIT
+        # ladder scale — per-ray candidate needs only drop vs the plain
+        # chunking (measured: mid-level max 13/26 vs 18/38 unrefined,
+        # leaf mean -21% at tau 0.5 on the 327k proxy).
         sz = [lv.shape[0] for lv in levels]
-        df, dk = default_frontiers(sz)
+        eff = sz if split_tau is None else \
+            [max(1, s >> int(split_rounds)) for s in sz]
+        df, dk = default_frontiers(eff)
         df = tuple(min(s, int(np.ceil(c * cap_scale)))
                    for s, c in zip(sz, df))
         dk = min(sz[-1], int(np.ceil(dk * cap_scale)))
@@ -1138,6 +1218,78 @@ def _reduce_pairs_closest(cb, ro, rd, t_min1, t_max1, rayP, cidP, cnt,
     return best_t, best_g, best_u, best_v
 
 
+# Pallas segmented-scan reduce (r5): replace the closest reduce's 5-field
+# 3-key sort and the any-hit reduce's scatter-add with one streaming
+# segmented (t, gid)-min scan over the ray-major pair list
+# (kernels/pair_scan.py) + a (Q,) segment-end gather.  Exact: the
+# lexicographic min is associative, so the scan picks the bit-identical
+# winner (lowest t, then lowest gid — SURVEY.md §4 item 2).  Default ON
+# (r5 gate record: bit-identical on the equivalence tests; stage-level
+# parity on tools/profile_scan_reduce.py, closest 4.538 vs 4.529 ms;
+# WINS the full bench 819,170 vs 808,203 rays/s exact — the removed
+# sort also relieves XLA scheduling in the full-step pipeline).
+USE_SCAN_REDUCE = True
+
+
+def _scan_supported(cb: ClusterBVH, Q: int) -> bool:
+    # gid and ray ids ride f32 lanes in the kernel — exact below 2^24.
+    return cb.n_clusters * cb.tiles.shape[2] < (1 << 24) and Q < (1 << 24)
+
+
+def _reduce_pairs_closest_scan(cb, ro, rd, t_min1, t_max1, rayP, cidP, cnt,
+                               right):
+    """Scan-kernel form of _reduce_pairs_closest: same inputs, same
+    bit-exact outputs, no sort."""
+    from tpu_pt.kernels.pair_scan import B as SB, pair_segmin_scan
+
+    Q = ro.shape[0]
+    P = rayP.shape[0]
+    pair_ok = rayP < Q
+    rayPc = jnp.minimum(rayP, Q - 1)
+    t_p, u_p, v_p, g_p = _test_pair_batch(
+        cb, ro, rd, t_min1, t_max1, rayPc, cidP, pair_ok)
+    z = jnp.zeros_like(t_p)
+    f = jnp.stack([t_p, g_p.astype(jnp.float32), u_p, v_p,
+                   rayP.astype(jnp.float32), z, z, z], axis=0)
+    pad = (-P) % SB
+    if pad:
+        padcol = jnp.zeros((8, pad), jnp.float32)
+        padcol = padcol.at[0].set(INF).at[4].set(-2.0)
+        f = jnp.concatenate([f, padcol], axis=1)
+    scanned = pair_segmin_scan(f)
+    idx = jnp.clip(right - 1, 0, P + pad - 1)     # segment-end columns
+    best_t = scanned[0, idx]
+    has = (cnt > 0) & (best_t < INF)
+    return (jnp.where(has, best_t, INF),
+            jnp.where(has, scanned[1, idx].astype(jnp.int32), 0),
+            jnp.where(has, scanned[2, idx], 0.0),
+            jnp.where(has, scanned[3, idx], 0.0))
+
+
+def _reduce_pairs_anyhit_scan(cb, ro, rd, t_min1, t_max1, rayP, cidP, cnt,
+                              right):
+    """Scan-kernel any-hit reduce: occluded iff the ray's segment-end
+    scanned t is a hit (replaces the per-ray scatter-add)."""
+    from tpu_pt.kernels.pair_scan import B as SB, pair_segmin_scan
+
+    Q = ro.shape[0]
+    P = rayP.shape[0]
+    pair_ok = rayP < Q
+    rayPc = jnp.minimum(rayP, Q - 1)
+    t_p, _, _, _ = _test_pair_batch(
+        cb, ro, rd, t_min1, t_max1, rayPc, cidP, pair_ok)
+    z = jnp.zeros_like(t_p)
+    f = jnp.stack([t_p, z, z, z, rayP.astype(jnp.float32), z, z, z], axis=0)
+    pad = (-P) % SB
+    if pad:
+        padcol = jnp.zeros((8, pad), jnp.float32)
+        padcol = padcol.at[0].set(INF).at[4].set(-2.0)
+        f = jnp.concatenate([f, padcol], axis=1)
+    scanned = pair_segmin_scan(f)
+    idx = jnp.clip(right - 1, 0, P + pad - 1)
+    return (cnt > 0) & (scanned[0, idx] < INF)
+
+
 def _dedup_supported(cb: ClusterBVH, budget: int) -> bool:
     from tpu_pt.kernels.cluster_isect import B as PBLK
 
@@ -1298,7 +1450,7 @@ def _traverse_compact_1(cb: ClusterBVH, ro, rd, t_min, t_max,
     t_max1 = t_max[:, 0]
     cand, live, ovf = _descend_compact(cb, ro, 1.0 / rd, t_min1[:, None],
                                        t_max1[:, None])
-    budget = cb.pair_mults[2] * Q
+    budget = int(cb.pair_mults[2] * Q)
     rayP, cidP, dropped, cnt, right, lost = _flat_pairs(cand, live, Q,
                                                         budget)
     n_ovf = jnp.sum(ovf) + dropped
@@ -1320,6 +1472,9 @@ def _traverse_compact_1(cb: ClusterBVH, ro, rd, t_min, t_max,
         best_v = jnp.where(has, v_p[wc], 0.0)
         best_g = jnp.where(has, g_p[wc], 0)
         best_t = jnp.where(has, best_t, INF)
+    elif USE_SCAN_REDUCE and _scan_supported(cb, Q):
+        best_t, best_g, best_u, best_v = _reduce_pairs_closest_scan(
+            cb, ro, rd, t_min1, t_max1, rayP, cidP, cnt, right)
     else:
         best_t, best_g, best_u, best_v = _reduce_pairs_closest(
             cb, ro, rd, t_min1, t_max1, rayP, cidP, cnt, right)
@@ -1379,7 +1534,7 @@ def _traverse_compact_anyhit_1(cb: ClusterBVH, ro, rd, t_min, t_max,
         mult = cb.pair_mults[3]
     else:
         mult = cb.pair_mults[2]
-    budget = mult * Q
+    budget = int(mult * Q)
     rayP, cidP, dropped, cnt, right, lost = _flat_pairs(cand, live, Q,
                                                         budget)
     n_ovf = jnp.sum(ovf) + dropped
@@ -1391,6 +1546,9 @@ def _traverse_compact_anyhit_1(cb: ClusterBVH, ro, rd, t_min, t_max,
         hit_pair = ((t_p < INF) & okS).astype(jnp.int32)
         occ = jnp.zeros((Q,), jnp.int32).at[rayC].add(hit_pair,
                                                       mode="drop") > 0
+    elif USE_SCAN_REDUCE and _scan_supported(cb, Q):
+        occ = _reduce_pairs_anyhit_scan(
+            cb, ro, rd, t_min1, t_max1, rayP, cidP, cnt, right)
     else:
         pair_ok = rayP < Q
         rayPc = jnp.minimum(rayP, Q - 1)
@@ -1423,7 +1581,7 @@ def compact_stats(cb: ClusterBVH, ro, rd, t_min, t_max):
     Q = ro.shape[0]
     cand, live, overflow = _descend_compact(
         cb, ro, 1.0 / rd, t_min1[:, None], t_max1[:, None])
-    budget = cb.pair_mults[2] * Q
+    budget = int(cb.pair_mults[2] * Q)
     rayP, _, dropped, _, _, _ = _flat_pairs(cand, live, Q, budget)
     n_live = jnp.sum((rayP < Q).astype(jnp.int32))
     return n_live, jnp.sum(overflow) + dropped
