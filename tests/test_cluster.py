@@ -346,3 +346,21 @@ def test_scan_reduce_matches_sort_reduce(setups):
         np.testing.assert_array_equal(np.asarray(getattr(h0, f)),
                                       np.asarray(getattr(h1, f)), err_msg=f)
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_device_build_refined_tiny_scene(setups):
+    """SAH window refinement edge case: a scene smaller than one tile
+    (C=1 window -> 2 chunk slots, caps clamped to the table size) still
+    intersects exactly."""
+    scene, _ = setups["cornell"]
+    cb = jax.jit(cl.build_cluster_device)(scene)   # default tile=128
+    assert cb.n_clusters == 2
+    ro, rd = _rays(256, 31)
+    tmin = jnp.zeros((256, 1))
+    tmax = jnp.full((256, 1), 1e30)
+    h_ref = brute.intersect(scene, ro, rd, tmin, tmax)
+    h_cl = cl.intersect(cb, scene, ro, rd, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(h_ref.hit), np.asarray(h_cl.hit))
+    m = np.asarray(h_ref.hit)[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(h_ref.t)[m], np.asarray(h_cl.t)[m], rtol=1e-5, atol=1e-6)
